@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-interval / interval-overlap joins.
+  *
+  * The reference implements these as per-chromosome in-memory linear
+  * scans over sorted interval caches (`GeneCache.getGeneRgdIds:53-98`,
+  * `TranscriptFeatureCache`), which caps at one JVM's heap. Here both
+  * sides stay distributed: intervals are exploded onto fixed-width
+  * genomic bins (`floor(pos/binSize)`), points land in exactly one bin,
+  * and the join becomes a plain equi-join on (partitionKey, bin) with a
+  * residual range predicate — shuffle-partitioned, AQE/skew friendly,
+  * and broadcastable when the interval side is small.
+  *
+  * At 100 TB scale this is the difference between a
+  * BroadcastNestedLoopJoin (quadratic, driver-bound) and a shuffled
+  * hash/sort-merge join keyed by (chr, bin): bin width should
+  * approximate the typical interval length (1 Mb for gene spans) so
+  * interval replication stays near 1-2 rows per interval.
+  */
+object RangeJoin {
+
+  /** Inner join: rows of `points` paired with every row of `intervals`
+    * whose [startCol, stopCol] contains the point (inclusive both ends,
+    * matching `GeneCache.getGeneRgdIds` overlap conditions).
+    *
+    * @param points       point-side DataFrame
+    * @param intervals    interval-side DataFrame (columns must not clash
+    *                     with the point side; alias/prefix beforehand)
+    * @param pointKeys    equality key columns on the point side (e.g. chr)
+    * @param intervalKeys matching key columns on the interval side
+    * @param pos          point position column (point side)
+    * @param start/stop   interval bound columns (interval side)
+    * @param binSize      genomic bin width
+    * @param broadcastIntervals hint the interval side as broadcastable
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointKeys: Seq[String], intervalKeys: Seq[String],
+                      pos: String, start: String, stop: String,
+                      binSize: Long = 1000000L,
+                      broadcastIntervals: Boolean = false): DataFrame = {
+    val binned = explodeToBins(intervals, start, stop, binSize)
+    val right = if (broadcastIntervals) broadcast(binned) else binned
+    val joinCond = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => points(pk) === right(ik) }
+      .reduce(_ && _) &&
+      (floor(points(pos) / binSize) === right("__bin")) &&
+      points(pos) >= right(start) && points(pos) <= right(stop)
+    points.join(right, joinCond).drop("__bin")
+  }
+
+  /** Left-outer variant: every point kept; interval columns null when no
+    * interval covers it. A point can only match intervals in its own bin,
+    * so the left-outer of the binned equi-join is exact (used for
+    * GENIC/INTERGENIC status, `VariantLoad3.java:294,682-694`).
+    */
+  def pointInIntervalLeftOuter(points: DataFrame, intervals: DataFrame,
+                               pointKeys: Seq[String], intervalKeys: Seq[String],
+                               pos: String, start: String, stop: String,
+                               binSize: Long = 1000000L,
+                               broadcastIntervals: Boolean = false): DataFrame = {
+    val binned = explodeToBins(intervals, start, stop, binSize)
+    val right = if (broadcastIntervals) broadcast(binned) else binned
+    val joinCond = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => points(pk) === right(ik) }
+      .reduce(_ && _) &&
+      (floor(points(pos) / binSize) === right("__bin")) &&
+      points(pos) >= right(start) && points(pos) <= right(stop)
+    points.join(right, joinCond, "left_outer").drop("__bin")
+  }
+
+  /** Interval-overlap inner join: pairs where
+    * [lStart,lStop] and [rStart,rStop] overlap (inclusive). Both sides
+    * are exploded onto bins; the duplicate matches that arise when an
+    * overlapping pair shares several bins are removed by keeping only the
+    * bin containing max(lStart, rStart) — a standard dedup-free binned
+    * overlap join (no post-hoc dropDuplicates, so the plan stays
+    * streaming-friendly). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      lStart: String, lStop: String,
+                      rStart: String, rStop: String,
+                      binSize: Long = 1000000L,
+                      broadcastRight: Boolean = false): DataFrame = {
+    val lb = explodeToBins(left, lStart, lStop, binSize, "__lbin")
+    val rb0 = explodeToBins(right, rStart, rStop, binSize, "__rbin")
+    val rb = if (broadcastRight) broadcast(rb0) else rb0
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => lb(lk) === rb(rk) }
+      .reduce(_ && _)
+    val overlap = lb(lStart) <= rb(rStop) && lb(lStop) >= rb(rStart)
+    // anchor bin = bin of max(start_l, start_r): each overlapping pair is
+    // emitted exactly once
+    val anchor = floor(greatest(lb(lStart), rb(rStart)) / binSize)
+    lb.join(rb, keyCond && lb("__lbin") === rb("__rbin") &&
+        lb("__lbin") === anchor && overlap)
+      .drop("__lbin").drop("__rbin")
+  }
+
+  /** Explode each interval row onto every bin its [start, stop] covers.
+    * Adds column `binCol`. */
+  private[operators] def explodeToBins(df: DataFrame, start: String, stop: String,
+                                       binSize: Long, binCol: String = "__bin"): DataFrame =
+    df.withColumn(binCol,
+      explode(sequence(floor(col(start) / binSize), floor(col(stop) / binSize))))
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY §2.3-§2.8): scans, filters,
+  * equi/anti/semi joins, aggregations, rollup, windows, sorts/top-k,
+  * set ops — each with a DuckDB oracle.
+  *
+  * Determinism rules for oracle hash-parity: money sums are computed as
+  * integer cents via floor(x*100 + 0.5) (identical IEEE evaluation in
+  * both engines); every output is int/long/string; every window has a
+  * total tiebreak order.
+  */
+object QueriesRelational {
+
+  private val centsL = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // A1/A2-style grouped aggregation with filter pushed to parquet scan.
+    Q("q01_pricing_summary",
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(expr(centsL)).as("revenue_cents"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              |  CAST(sum($centsL) AS BIGINT) AS revenue_cents,
+              |  count(*) AS cnt
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // J14-style multi-way join: lineitem |><| orders |><| customer |><|
+    // nation |><| region with small dims broadcast.
+    Q("q02_revenue_by_nation",
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        val o = table(spark, dir, "orders")
+        val c = table(spark, dir, "customer")
+        val n = table(spark, dir, "nation")
+        val r = table(spark, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(n("n_name").as("n_name"))
+          .agg(sum(expr(centsL)).as("revenue_cents"), count(lit(1)).as("cnt"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, CAST(sum($centsL) AS BIGINT) AS revenue_cents, count(*) AS cnt
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name
+              |ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
+    // J6/J8-style anti join (NOT EXISTS).
+    Q("q03_customers_without_orders",
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val o = table(spark, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Semi join (EXISTS).
+    Q("q04_customers_with_urgent_orders",
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val o = table(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // W1-style top-k per group with deterministic tiebreak.
+    Q("q05_top_orders_per_segment",
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val o = table(spark, dir, "orders")
+        val j = o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(c("c_mktsegment").as("seg"), o("o_orderkey").as("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+        val w = Window.partitionBy(col("seg"))
+          .orderBy(col("price_cents").desc, col("o_orderkey"))
+        j.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("seg"), col("rn").cast("long").as("rn"), col("o_orderkey"), col("price_cents"))
+          .orderBy(col("seg"), col("rn"))
+      },
+      Some("""SELECT seg, rn, o_orderkey, price_cents FROM (
+             |  SELECT c_mktsegment AS seg, o_orderkey,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE rn <= 3
+             |ORDER BY seg, rn""".stripMargin)),
+
+    // W4-style running prefix sum (integer cents so the cumsum is exact).
+    Q("q06_running_value_per_user",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .withColumn("run_cents", sum(col("cents")).over(w))
+          .select(col("user_id"), col("event_id"), col("run_cents"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+             |FROM events
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // A2-style two-granularity rollup.
+    Q("q07_rollup_events",
+      (spark, dir) => {
+        table(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 10).as("bucket"))
+          .rollup(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("bucket"), lit(-1L)).as("bucket"),
+            col("cnt"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(bucket, -1) AS bucket, count(*) AS cnt
+             |FROM (SELECT event_type, user_id % 10 AS bucket FROM events)
+             |GROUP BY ROLLUP(event_type, bucket)
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // A4/U2 distinct.
+    Q("q08_distinct_event_types",
+      (spark, dir) =>
+        table(spark, dir, "events").select(col("event_type")).distinct()
+          .orderBy(col("event_type")),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+
+    // U1/U2: union + distinct of two slices.
+    Q("q09_union_hi_value_or_urgent",
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+        val a = o.filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val b = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        a.unionByName(b).distinct()
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt FROM (
+             |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+             |  UNION
+             |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // W1 first-match-per-key, made deterministic with (ts, event_id).
+    Q("q10_first_event_per_user",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // U3/J5-style composite-key dedup keeping a deterministic first row
+    // (reference keeps first-inserted; we impose (orderkey, linenumber)).
+    Q("q11_dedup_lineitem_by_part_supp",
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem").filter(col("l_partkey") % 97 === 0)
+        val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        li.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"))
+          .orderBy(col("l_partkey"), col("l_suppkey"))
+      },
+      Some("""SELECT l_partkey, l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+             |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+             |        ORDER BY l_orderkey, l_linenumber) AS rn
+             |      FROM lineitem WHERE l_partkey % 97 = 0)
+             |WHERE rn = 1
+             |ORDER BY l_partkey, l_suppkey""".stripMargin)),
+
+    // O1-style global sort + limit (top-k) with total tiebreak.
+    Q("q12_top10_orders",
+      (spark, dir) =>
+        table(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+          .orderBy(col("price_cents").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+             |FROM orders
+             |ORDER BY price_cents DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // X10/X12-analog: JSON prop extraction + grouped aggregation.
+    Q("q13_json_props",
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("cnt"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(max(k) AS BIGINT) AS max_k, count(*) AS cnt
+             |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
+  )
+}

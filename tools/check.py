@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only harness (driver-side python, not part of the library):
+runs each oracle SQL in DuckDB against the same parquet tables and
+compares with the Verify output, approximating the driver's
+row/schema/hash match (columns sorted by name, rows sorted)."""
+import duckdb, json, sys, os
+import pandas as pd
+
+TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    out = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/tmp/verify_out'
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        if only and only not in name:
+            continue
+        sql = oracle[name]
+        try:
+            duck = con.sql(sql).df()
+        except Exception as e:
+            print(f'{name}: ORACLE-ERROR {e}')
+            n_fail += 1
+            continue
+        try:
+            spark = pd.read_parquet(f'{out}/{name}')
+        except Exception as e:
+            print(f'{name}: SPARK-MISSING {e}')
+            n_fail += 1
+            continue
+        s = spark[sorted(spark.columns)]
+        d = duck[sorted(duck.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f'{name}: SCHEMA-MISMATCH spark={list(s.columns)} duck={list(d.columns)}')
+            n_fail += 1
+            continue
+        s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
+        if len(s) != len(d):
+            print(f'{name}: ROWCOUNT spark={len(s)} duck={len(d)}')
+            n_fail += 1
+            continue
+        ss = s.astype(str)
+        dd = d.astype(str)
+        if not ss.equals(dd):
+            diff = (ss != dd).any(axis=1)
+            print(f'{name}: VALUE-MISMATCH {int(diff.sum())}/{len(s)} rows differ')
+            print('  spark dtypes:', dict(s.dtypes.astype(str)))
+            print('  duck  dtypes:', dict(d.dtypes.astype(str)))
+            bad = diff[diff].index[:3]
+            for i in bad:
+                print(f'  row {i}: spark={s.loc[i].to_dict()} duck={d.loc[i].to_dict()}')
+            n_fail += 1
+            continue
+        # flag dtype divergences even when values stringify equal
+        dt_note = ''
+        if list(s.dtypes.astype(str)) != list(d.dtypes.astype(str)):
+            dt_note = f'  [dtypes spark={list(s.dtypes.astype(str))} duck={list(d.dtypes.astype(str))}]'
+        print(f'{name}: OK rows={len(s)}{dt_note}')
+        n_ok += 1
+    print(f'== {n_ok} ok, {n_fail} fail ==')
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == '__main__':
+    main()
