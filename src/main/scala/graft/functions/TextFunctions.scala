@@ -94,4 +94,52 @@ object TextFunctions {
   /** 63-bit polynomial hash of one string (for shingle/token hashing). */
   def polyHash(s: Column, mod: Long = 1000000007L): Column =
     aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % mod)
+
+  // ---- MinHash + LSH dedup primitives ---------------------------------
+  // Pipeline (shingle -> minhash -> band -> bucket-join) per the classic
+  // Broder construction. All integer arithmetic stays < 2^63 and is
+  // reproduced verbatim in the DuckDB oracle SQL, so signatures are
+  // engine-independent.
+
+  val HashMod = 1000000007L
+  val MinhashPrime = 2147483647L
+
+  /** Direct hash of a 3-char shingle:
+    * ((a*31 + b)*31 + c) % HashMod over the ascii codes. */
+  def shingleHash3(s: Column): Column =
+    ((ascii(substring(s, 1, 1)) * 31L + ascii(substring(s, 2, 1))) * 31L
+      + ascii(substring(s, 3, 1))) % HashMod
+
+  /** Per-function minhash seeds: a_i = 2i+1, b_i = 7919i+123. */
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = 7919L * i + 123
+
+  /** MinHash signature (array of k longs) over an array of shingle
+    * hashes: sig[i] = min over h of (a_i*h + b_i) % MinhashPrime. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleHashes,
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashPrime))
+    }: _*)
+
+  /** LSH band key: polynomial combine of `rowsPerBand` consecutive
+    * signature entries of band `bandIdx` (0-based). Max value
+    * ~ 2^31 * 31^3 < 2^63, no mod needed. */
+  def bandKey(sig: Column, bandIdx: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).map { r =>
+      element_at(sig, bandIdx * rowsPerBand + r + 1)
+    }.reduce((acc, m) => acc * 31L + m)
+
+  /** 16-bit SimHash over an array of (token) hashes: bit b is set iff
+    * sum over tokens of (2*((h>>b)&1) - 1) >= 0. */
+  def simhash16(tokenHashes: Column): Column =
+    (0 until 16).map { b =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+      when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two 16-bit values. */
+  def hamming16(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math as pure `Column` expressions over
+  * `array<float>` / `array<double>` columns.
+  *
+  * Determinism contract: every reduction is a sequential left fold
+  * (`aggregate` over the array in element order), so a DuckDB oracle
+  * computing the same fold (`list_reduce` after `list_prepend(0.0)`)
+  * produces bit-identical IEEE-754 doubles — which makes integer
+  * quantizations like `floor(sim * 1e6)` hash-stable across engines.
+  *
+  * Scale notes (100 TB): these are codegen'd expressions, so a
+  * brute-force top-k scan runs at full columnar speed; the LSH
+  * bucketing below turns the O(n·q) scan into an equi-join on
+  * (bucket) that shuffles instead of broadcasting when the query
+  * side is large.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> embedding to array<double> for exact math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — keep this
+    * exact expression shape in any oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** floor(x * 1e6) as a hash-stable integer quantization. */
+  def quantize1e6(x: Column): Column = floor(x * 1e6).cast("long")
+
+  /** Deterministic integer hyperplane weight for LSH: plane j,
+    * dimension i (0-based) -> ((1009*j + 2003*i) % 97) - 48, as double.
+    * Pseudo-random signs centered on 0; identical formula goes in the
+    * oracle SQL. */
+  def lshWeight(j: Int, i: Column): Column =
+    (((lit(1009 * j) + lit(2003) * i) % 97) - 48).cast("double")
+
+  /** Signed projection of `v` (array<double>) onto hyperplane j:
+    * sequential fold of v[i] * w(j,i). */
+  def lshProjection(v: Column, j: Int, dim: Int): Column =
+    aggregate(
+      zip_with(v, sequence(lit(0), lit(dim - 1)),
+        (x, i) => x * lshWeight(j, i)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits:
+    * bit j set iff projection_j > 0. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(lshProjection(v, j, dim) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Large-scale training-data pipeline operators over the `documents`
+  * and `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
+  * exact n-gram Jaccard, embedding near-dup), similarity search
+  * (brute-force cosine top-k baseline; LSH-bucketed scale path), and
+  * text analysis (language ID, quality metrics, token stats,
+  * fingerprinting).
+  *
+  * Every pipeline is pure `Column` expressions + equi-joins, so it
+  * scales by shuffle: at 100 TB the LSH variants (q41 bucket join,
+  * q45 bucket join) replace the O(n^2)/O(n*q) exact baselines (q43,
+  * q44, q46), which are kept both as correctness oracles and as the
+  * small-side option.
+  *
+  * Determinism: all hashes are explicit integer polynomials and all
+  * float reductions are sequential left folds (see
+  * [[graft.functions.VectorFunctions]]), reproduced verbatim in the
+  * DuckDB oracle SQL.
+  */
+object QueriesLlm {
+
+  private val P = TF.HashMod            // 1e9+7
+  private val MP = TF.MinhashPrime      // 2^31-1
+  private val K = 16                    // minhash signature length
+  private val Bands = 4                 // LSH bands (rows per band = 4)
+  private val Rpb = K / Bands
+  private val JaccThreshold = 700       // jaccard >= 0.700 == near-dup
+  private val Dim = 64                  // embedding dimensionality
+  private val Planes = 8                // LSH hyperplanes
+
+  // ---- shared DuckDB fragments (mirror the Spark expressions) --------
+
+  /** char 3-gram distinct shingles of lower(text). */
+  private val shCte =
+    """sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+      |  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents))""".stripMargin
+
+  /** per-shingle polynomial hash, BIGINT. */
+  private val shlCte =
+    s"""shl AS (
+       |  SELECT doc_id, list_transform(sh, s ->
+       |    CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+       |          + ascii(substr(s, 3, 1))) % $P AS BIGINT)) AS hl
+       |  FROM sh)""".stripMargin
+
+  /** per-token polynomial rolling hash (BIGINT) of distinct tokens. */
+  private val tokHashCte =
+    s"""th AS (
+       |  SELECT doc_id, list_transform(
+       |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |    t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $P)) AS hs
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB: embeddings as DOUBLE lists. */
+  private val embCte =
+    "e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)"
+
+  /** DuckDB sequential-fold dot product of `$a.v` x `$b.v`-style refs. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [$a[i] * $b[i] FOR i IN generate_series(1, $Dim)]), (x, y) -> x + y)""".stripMargin
+
+  private def normSqSql(a: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [x * x FOR x IN $a]), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}))"
+
+  /** DuckDB LSH bucket of a DOUBLE list column `v`. */
+  private def bucketSql(v: String): String =
+    (0 until Planes).map { j =>
+      val proj =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  [$v[i] * CAST(((${1009 * j} + 2003 * (i - 1)) % 97) - 48 AS DOUBLE)
+           |   FOR i IN generate_series(1, $Dim)]), (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN ($proj) > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // -- Exact dedup: hash-groupBy on full text. The union constructs
+    // known duplicates (every 7th doc re-appears under a new id), so the
+    // dedup has real work to do. 100 TB: group on fingerprint(text)
+    // first, full-text equality only within fingerprint buckets.
+    Q("q40_dedup_exact",
+      (spark, dir) => {
+        val d = table(spark, dir, "documents").select("doc_id", "lang", "text")
+        val dup = d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        d.unionByName(dup)
+          .groupBy(col("lang"), col("text"))
+          .agg(count(lit(1)).as("copies"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("distinct_docs"),
+            sum(col("copies")).as("total_rows"),
+            sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 7 = 0)
+             |SELECT lang, count(*) AS distinct_docs,
+             |  CAST(sum(copies) AS BIGINT) AS total_rows,
+             |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+             |FROM (SELECT lang, text, count(*) AS copies FROM all_docs GROUP BY lang, text)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- MinHash + LSH near-dup detection: shingle -> 16 minhashes ->
+    // 4 bands -> bucket equi-join -> candidate pairs -> exact-Jaccard
+    // verify. The band join is the scale path: candidates shuffle on
+    // (band_idx, band_key) instead of forming n^2 pairs.
+    Q("q41_dedup_minhash_lsh",
+      (spark, dir) => {
+        val sh = table(spark, dir, "documents")
+          .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+        val sig = sh
+          .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
+          .withColumn("sig", TF.minhashSignature(col("hl"), K))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until Bands).map(b =>
+            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+          .drop("doc_id")
+          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
+          .drop("doc_id")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+          .withColumn("jacc_x1000", expr("CAST((inter * 1000) DIV uni AS BIGINT)"))
+          .filter(col("jacc_x1000") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sigCols = (0 until K).map(i =>
+          s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
+          .mkString(",\n    ")
+        val bandSelects = (0 until Bands).map { b =>
+          val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+            .reduce((acc, m) => s"($acc * 31 + $m)")
+          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigt"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $shCte,
+           |$shlCte,
+           |sigt AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shl),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jacc_x1000 FROM (
+           |  SELECT c.doc_a, c.doc_b,
+           |    (len(list_intersect(x.sh, y.sh)) * 1000)
+           |      // len(list_distinct(list_concat(x.sh, y.sh))) AS jacc_x1000
+           |  FROM cand c
+           |  JOIN sh x ON x.doc_id = c.doc_a
+           |  JOIN sh y ON y.doc_id = c.doc_b)
+           |WHERE jacc_x1000 >= $JaccThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // -- SimHash fingerprints: 16-bit sign-aggregated token-hash sketch
+    // per document (near-dup docs land on nearby values; hamming-join
+    // happens on chunked bits at scale).
+    Q("q42_dedup_simhash",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TF.tokens(lower(col("text")))).as("toks"))
+          .withColumn("hs", transform(col("toks"), t => TF.polyHash(t)))
+          .select(col("doc_id"), TF.simhash16(col("hs")).as("simhash"))
+          .orderBy(col("doc_id")),
+      Some {
+        val bitTerms = (0 until 16).map { b =>
+          s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(hs, h -> ((h >> $b) % 2) * 2 - 1)), (a, x) -> a + x) >= 0
+             |  THEN ${1L << b} ELSE 0 END)""".stripMargin
+        }.mkString("(", "\n  + ", ")")
+        s"""WITH $tokHashCte
+           |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+           |FROM th ORDER BY doc_id""".stripMargin
+      }),
+
+    // -- Exact n-gram Jaccard dedup, language-blocked: the quadratic
+    // baseline that q41 approximates. Blocking key (lang) bounds the
+    // pair explosion; at 100 TB block on (lang, length-band) and prefer
+    // q41.
+    Q("q43_dedup_ngram_jaccard",
+      (spark, dir) => {
+        val sh = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
+        sh.as("a").join(sh.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+            size(array_union(col("a.sh"), col("b.sh"))).as("uni"))
+          .withColumn("jacc_x1000", expr("CAST((inter * 1000) DIV uni AS BIGINT)"))
+          .filter(col("jacc_x1000") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        s"""WITH $shCte
+           |SELECT doc_a, doc_b, jacc_x1000 FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    (len(list_intersect(a.sh, b.sh)) * 1000)
+           |      // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
+           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |WHERE jacc_x1000 >= $JaccThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // -- Brute-force cosine top-k: the ANN baseline. Query side is tiny
+    // and broadcast; the corpus side streams through codegen'd fold
+    // expressions (no UDF, no collect).
+    Q("q44_knn_bruteforce",
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        broadcast(q).join(e, col("vec_id") =!= col("qid"))
+          .withColumn("sim", VF.cosine(col("qv"), col("v")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            VF.quantize1e6(col("sim")).as("sim_x1e6"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(
+        s"""WITH $embCte,
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT q.qid, e.vec_id, ${cosSql("qv", "v")} AS sim
+           |  FROM q JOIN e ON e.vec_id <> q.qid)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
+           |  CAST(floor(sim * 1e6) AS BIGINT) AS sim_x1e6
+           |FROM (SELECT qid, vec_id, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |      FROM scored)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // -- LSH-bucketed ANN: random-hyperplane signatures turn the
+    // all-pairs scan into an equi-join on bucket id — the 100 TB path
+    // (shuffles by bucket; no broadcast needed when queries are many).
+    Q("q45_knn_lsh",
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+          .withColumn("bucket", VF.lshBucket(col("v"), Planes, Dim))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        q.join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .withColumn("sim", VF.cosine(col("qv"), col("v")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
+            VF.quantize1e6(col("sim")).as("sim_x1e6"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(
+        s"""WITH $embCte,
+           |eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+           |qb AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+           |       FROM eb WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT qb.qid, eb.vec_id, ${cosSql("qv", "eb.v")} AS sim
+           |  FROM qb JOIN eb ON eb.bucket = qb.qbucket AND eb.vec_id <> qb.qid)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id,
+           |  CAST(floor(sim * 1e6) AS BIGINT) AS sim_x1e6
+           |FROM (SELECT qid, vec_id, sim,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           |      FROM scored)
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // -- Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    // q45's bucket join is the scale path).
+    Q("q46_dedup_embedding",
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+        e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim", VF.cosine(col("a.v"), col("b.v")))
+          .withColumn("sim_x1e6", VF.quantize1e6(col("sim")))
+          .filter(col("sim_x1e6") >= 400000L)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim_x1e6"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(
+        s"""WITH $embCte
+           |SELECT vec_a, vec_b, sim_x1e6 FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |WHERE sim_x1e6 >= 400000
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // -- Heuristic language ID vs the labeled lang column (confusion
+    // matrix). Marker lists are deliberately tiny; the operator shape
+    // (argmax over per-language token matches) is what scales.
+    Q("q47_lang_id",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("lang").as("lang_actual"),
+            TF.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_actual"), col("lang_pred"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang_actual"), col("lang_pred")),
+      Some {
+        val hits = TF.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString(", ")
+          lang -> s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($inList)))"
+        }
+        val best = s"greatest(${hits.map(_._2).mkString(", ")})"
+        val pick = hits.map { case (lang, h) =>
+          s"WHEN $h = best AND best > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""SELECT lang_actual, lang_pred, count(*) AS cnt FROM (
+           |  SELECT lang AS lang_actual,
+           |    CASE $pick ELSE 'und' END AS lang_pred
+           |  FROM (SELECT lang, text, $best AS best FROM documents))
+           |GROUP BY lang_actual, lang_pred
+           |ORDER BY lang_actual, lang_pred""".stripMargin
+      }),
+
+    // -- Document quality metrics aggregated per language (all exact
+    // integers, so the per-doc structs hash-match through the rollup).
+    Q("q48_text_quality",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("lang"), TF.qualityMetrics(col("text")).as("m"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("m.n_chars")).as("sum_chars"),
+            sum(col("m.n_tokens")).as("sum_tokens"),
+            sum(col("m.n_subtokens")).as("sum_subtokens"),
+            sum(col("m.n_punct")).as("sum_punct"),
+            sum(col("m.n_stopwords")).as("sum_stopwords"),
+            sum(col("m.mean_tok_len_x100")).as("sum_mean_tok_len_x100"))
+          .orderBy(col("lang")),
+      Some(
+        """SELECT lang, count(*) AS docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subtokens,
+          |  CAST(sum(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))) AS BIGINT) AS sum_punct,
+          |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
+          |  CAST(sum(CASE WHEN n_tok > 0 THEN floor((sum_len * 100.0) / n_tok) ELSE 0 END) AS BIGINT)
+          |    AS sum_mean_tok_len_x100
+          |FROM (
+          |  SELECT lang, text,
+          |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split_regex(trim(text), '\s+'),
+          |        t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+          |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |      t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS n_stop
+          |  FROM documents)
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- Token frequency top-k (explode -> groupBy -> global top-k with
+    // deterministic tiebreak): word-count, the canonical shuffle shape.
+    Q("q49_token_topk",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(explode(TF.tokens(lower(col("text")))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some(
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |      FROM documents)
+          |GROUP BY token
+          |ORDER BY cnt DESC, token
+          |LIMIT 20""".stripMargin)),
+
+    // -- Rolling-hash document fingerprint (the exact-dedup / shard-key
+    // primitive; engine-independent integer polynomial).
+    Q("q50_doc_fingerprint",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+          |FROM documents
+          |WHERE doc_id % 5 = 0
+          |ORDER BY doc_id""".stripMargin))
+  )
+}
