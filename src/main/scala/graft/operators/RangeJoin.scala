@@ -45,9 +45,9 @@ object RangeJoin {
     val right = if (broadcastIntervals) broadcast(binned) else binned
     val joinCond = pointKeys.zip(intervalKeys)
       .map { case (pk, ik) => points(pk) === right(ik) }
-      .reduce(_ && _) &&
-      (floor(points(pos) / binSize) === right("__bin")) &&
-      points(pos) >= right(start) && points(pos) <= right(stop)
+      .foldLeft(
+        (floor(points(pos) / binSize) === right("__bin")) &&
+          points(pos) >= right(start) && points(pos) <= right(stop))(_ && _)
     points.join(right, joinCond).drop("__bin")
   }
 
@@ -65,9 +65,9 @@ object RangeJoin {
     val right = if (broadcastIntervals) broadcast(binned) else binned
     val joinCond = pointKeys.zip(intervalKeys)
       .map { case (pk, ik) => points(pk) === right(ik) }
-      .reduce(_ && _) &&
-      (floor(points(pos) / binSize) === right("__bin")) &&
-      points(pos) >= right(start) && points(pos) <= right(stop)
+      .foldLeft(
+        (floor(points(pos) / binSize) === right("__bin")) &&
+          points(pos) >= right(start) && points(pos) <= right(stop))(_ && _)
     points.join(right, joinCond, "left_outer").drop("__bin")
   }
 

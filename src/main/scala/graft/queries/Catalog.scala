@@ -5,5 +5,5 @@ package graft.queries
   * hash-match correctness gate. */
 object Catalog {
   def all: Seq[Q] =
-    QueriesRelational.all ++ QueriesGenomic.all ++ QueriesLlm.all
+    QueriesRelational.all ++ QueriesGenomic.all ++ QueriesPipeline.all ++ QueriesLlm.all
 }

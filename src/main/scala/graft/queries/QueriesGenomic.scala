@@ -22,7 +22,7 @@ object QueriesGenomic {
     s"WITH variants AS (${Synthetic.variantsSql})\n$body"
 
   /** DuckDB codon CASE expression over variable `c`. */
-  private def codonCaseSql(c: String): String = {
+  private[queries] def codonCaseSql(c: String): String = {
     val whens = DnaFunctions.CodonTable.toSeq.sortBy(_._1)
       .map { case (codon, aa) => s"WHEN '$codon' THEN '$aa'" }.mkString(" ")
     s"CASE $c $whens ELSE 'X' END"

@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{DnaFunctions, VariantFunctions}
+import graft.operators.WigParser
+
+/** The reference's pipeline-shaped operators, re-expressed Spark-first:
+  * CDS assembly + codon translation (SURVEY §3.3 / A10 / W4 / X18-X21),
+  * the stateful wig fixedStep reader (S4/W3), dedup-upsert with
+  * deterministic id allocation (J5/K4/§7.4.3), positional pairing of
+  * duplicate join keys (J11/W5), VCF FORMAT-index parsing (X9/F4/A5),
+  * and SnpEff ANN parsing (S13/X11).
+  *
+  * Inputs are derived deterministically from the driver parquet tables
+  * with dual-dialect fragments (same arithmetic in Spark and the DuckDB
+  * oracle), mirroring the reference's input shapes.
+  */
+object QueriesPipeline {
+
+  // ================= q60: CDS assembly + translation ==================
+  //
+  // Mirrors VariantPostProcessing.processTranscript (reference
+  // `VariantPostProcessing.java:370-551`): per transcript, exons are
+  // collected in genomic order, concatenated into a CDS, the variant is
+  // applied at its CDS-relative position (prefix sum of prior exon
+  // lengths — W4), minus-strand transcripts are reverse-complemented
+  // with the relative position flipped, the CDS is truncated to a
+  // multiple of 3 (variant beyond the truncation => triplet error), and
+  // both sequences are codon-translated to call synonymous status.
+  //
+  // Synthetic transcript model (from `part`): 2-4 exons per transcript,
+  // deterministic per-base DNA, one SNV per transcript landing in exon
+  // (tid % n_exons).
+
+  private def cdsQuery(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = table(spark, dir, "part").select(
+      col("p_partkey").as("tid"),
+      (col("p_partkey") % 3 + 2).cast("int").as("n_exons"),
+      when(col("p_partkey") % 2 === 1, "-").otherwise("+").as("strand"))
+    val ex = t
+      .withColumn("exon_idx", explode(sequence(lit(0), col("n_exons") - 1)))
+      .withColumn("e_len", (lit(24) + (col("tid") * 7 + col("exon_idx") * 13) % 33).cast("int"))
+      .withColumn("dna", array_join(
+        transform(sequence(lit(1), col("e_len")),
+          i => element_at(split(lit("ACGT"), ""),
+            ((col("tid") * 31 + col("exon_idx") * 7 + i * 3) % 4).cast("int") + 1)),
+        ""))
+    // W4: prefix sum of prior exon lengths = the variant's CDS offset base
+    val w = Window.partitionBy(col("tid")).orderBy(col("exon_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hit = ex
+      .withColumn("prior_len", coalesce(sum(col("e_len")).over(w), lit(0)).cast("long"))
+      .filter(col("exon_idx") === col("tid") % col("n_exons"))
+      .withColumn("offset", (col("tid") * 13) % col("e_len"))
+      .withColumn("rel_pos", col("prior_len") + col("offset") + 1)
+      .withColumn("var_base", element_at(split(lit("ACGT"), ""),
+        ((col("tid") * 17 + 3) % 4).cast("int") + 1))
+      .select(col("tid"), col("rel_pos"), col("var_base"))
+    // A10: ordered CDS assembly (collect + sort by exon_idx, concat)
+    val cds = ex.groupBy(col("tid"))
+      .agg(sort_array(collect_list(struct(col("exon_idx"), col("dna")))).as("exons"))
+      .select(col("tid"),
+        array_join(transform(col("exons"), x => x("dna")), "").as("cds"))
+    val asm = t.join(cds, "tid").join(hit, "tid")
+      // X20: apply the SNV at rel_pos
+      .withColumn("var_cds", concat(
+        expr("substring(cds, 1, CAST(rel_pos - 1 AS INT))"),
+        col("var_base"),
+        expr("substring(cds, CAST(rel_pos + 1 AS INT))")))
+      // X2 + relPos flip for minus strand
+      .withColumn("cds2", when(col("strand") === "-",
+        DnaFunctions.reverseComplement(col("cds"))).otherwise(col("cds")))
+      .withColumn("var_cds2", when(col("strand") === "-",
+        DnaFunctions.reverseComplement(col("var_cds"))).otherwise(col("var_cds")))
+      .withColumn("rel2", when(col("strand") === "-",
+        length(col("cds")) - col("rel_pos") + 1).otherwise(col("rel_pos")))
+      // X19: truncate to a codon multiple; variant past it = triplet error
+      .withColumn("trunc_len", expr("3 * (length(cds2) DIV 3)"))
+      .withColumn("triplet_error", when(col("rel2") > col("trunc_len"), "T").otherwise("F"))
+      // X21: aa position + codons
+      .withColumn("aa_pos",
+        when(col("triplet_error") === "T", 0L)
+          .otherwise(expr("CAST((rel2 + 2) DIV 3 AS BIGINT)")))
+      .withColumn("ref_aa",
+        when(col("triplet_error") === "T", "skipped")
+          .otherwise(DnaFunctions.translateCodon(
+            expr("substring(cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+      .withColumn("var_aa",
+        when(col("triplet_error") === "T", "skipped")
+          .otherwise(DnaFunctions.translateCodon(
+            expr("substring(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+      // X17
+      .withColumn("syn_status",
+        when(col("triplet_error") === "T", "skipped")
+          .otherwise(VariantFunctions.synStatus(col("ref_aa"), col("var_aa"))))
+    asm.groupBy(col("strand"), col("triplet_error"), col("syn_status"))
+      .agg(count(lit(1)).as("cnt"), sum(col("aa_pos")).as("sum_aa_pos"),
+        sum(col("rel2")).as("sum_rel_pos"))
+      .orderBy(col("strand"), col("triplet_error"), col("syn_status"))
+  }
+
+  private val cdsOracle: String = {
+    val revcomp = (c: String) => s"reverse(translate(upper($c), 'ACGT', 'TGCA'))"
+    s"""WITH t AS (
+       |  SELECT p_partkey AS tid, CAST(p_partkey % 3 + 2 AS INT) AS n_exons,
+       |    CASE WHEN p_partkey % 2 = 1 THEN '-' ELSE '+' END AS strand
+       |  FROM part),
+       |ex AS (
+       |  SELECT tid, n_exons, strand, exon_idx,
+       |    CAST(24 + (tid * 7 + exon_idx * 13) % 33 AS INT) AS e_len
+       |  FROM t, LATERAL (SELECT unnest(generate_series(0, n_exons - 1)) AS exon_idx)),
+       |exd AS (
+       |  SELECT *, list_aggregate(
+       |    [substr('ACGT', CAST((tid * 31 + exon_idx * 7 + i * 3) % 4 AS INT) + 1, 1)
+       |     FOR i IN generate_series(1, e_len)], 'string_agg', '') AS dna
+       |  FROM ex),
+       |hit AS (
+       |  SELECT tid,
+       |    CAST(coalesce(sum(e_len) OVER (PARTITION BY tid ORDER BY exon_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + ((tid * 13) % e_len) + 1 AS rel_pos,
+       |    substr('ACGT', CAST((tid * 17 + 3) % 4 AS INT) + 1, 1) AS var_base
+       |  FROM exd QUALIFY exon_idx = tid % n_exons),
+       |cds AS (SELECT tid, string_agg(dna, '' ORDER BY exon_idx) AS cds FROM exd GROUP BY tid),
+       |asm AS (
+       |  SELECT t.tid, t.strand, c.cds, h.rel_pos,
+       |    substr(c.cds, 1, CAST(h.rel_pos - 1 AS INT)) || h.var_base
+       |      || substr(c.cds, CAST(h.rel_pos + 1 AS INT)) AS var_cds
+       |  FROM t JOIN cds c ON c.tid = t.tid JOIN hit h ON h.tid = t.tid),
+       |ori AS (
+       |  SELECT tid, strand,
+       |    CASE WHEN strand = '-' THEN ${revcomp("cds")} ELSE cds END AS cds2,
+       |    CASE WHEN strand = '-' THEN ${revcomp("var_cds")} ELSE var_cds END AS var_cds2,
+       |    CASE WHEN strand = '-' THEN length(cds) - rel_pos + 1 ELSE rel_pos END AS rel2
+       |  FROM asm),
+       |fin AS (
+       |  SELECT *, CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 'T' ELSE 'F' END AS triplet_error,
+       |    CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 0 ELSE (rel2 + 2) // 3 END AS aa_pos
+       |  FROM ori),
+       |aa AS (
+       |  SELECT strand, triplet_error, CAST(aa_pos AS BIGINT) AS aa_pos, rel2,
+       |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |         ELSE ${QueriesGenomic.codonCaseSql("substr(cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS ref_aa,
+       |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |         ELSE ${QueriesGenomic.codonCaseSql("substr(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS var_aa
+       |  FROM fin)
+       |SELECT strand, triplet_error,
+       |  CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |       WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+       |       WHEN ref_aa = var_aa THEN 'synonymous'
+       |       ELSE 'nonsynonymous' END AS syn_status,
+       |  count(*) AS cnt, CAST(sum(aa_pos) AS BIGINT) AS sum_aa_pos,
+       |  CAST(sum(rel2) AS BIGINT) AS sum_rel_pos
+       |FROM aa
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ================= q62: wig fixedStep parse =========================
+
+  /** Deterministic wig-format lines derived from `orders`: one
+    * 5-value block per (o_orderkey % 200 == 0) order. line_id is dense
+    * within a block (b*10 + i). */
+  private def wigLines(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .withColumn("i", explode(sequence(lit(0), lit(5))))
+      .select(
+        (col("o_orderkey") * 10 + col("i")).as("line_id"),
+        when(col("i") === 0, concat(
+          lit("fixedStep chrom=chr"), (col("o_orderkey") % 5 + 1).cast("string"),
+          lit(" start="), ((col("o_orderkey") * 37) % 100000 + 1).cast("string"),
+          lit(" step="), (col("o_orderkey") % 4 + 1).cast("string")))
+          .otherwise(((col("o_orderkey") * 7 + col("i") * 13) % 1000).cast("string"))
+          .as("line"))
+
+  private val wigOracle: String =
+    """WITH lines AS (
+      |  SELECT o_orderkey * 10 + i AS line_id,
+      |    CASE WHEN i = 0 THEN
+      |      'fixedStep chrom=chr' || CAST(o_orderkey % 5 + 1 AS STRING)
+      |        || ' start=' || CAST((o_orderkey * 37) % 100000 + 1 AS STRING)
+      |        || ' step=' || CAST(o_orderkey % 4 + 1 AS STRING)
+      |    ELSE CAST((o_orderkey * 7 + i * 13) % 1000 AS STRING) END AS line
+      |  FROM orders, LATERAL (SELECT unnest(generate_series(0, 5)) AS i)
+      |  WHERE o_orderkey % 200 = 0),
+      |parsed AS (
+      |  SELECT line_id, line,
+      |    last_value(CASE WHEN line LIKE 'fixedStep%' THEN line END IGNORE NULLS)
+      |      OVER (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decl,
+      |    last_value(CASE WHEN line LIKE 'fixedStep%' THEN line_id END IGNORE NULLS)
+      |      OVER (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decl_id
+      |  FROM lines)
+      |SELECT chrom, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS sum_pos,
+      |  CAST(sum(score) AS BIGINT) AS sum_score
+      |FROM (
+      |  SELECT regexp_extract(decl, 'chrom=(\S+)', 1) AS chrom,
+      |    CAST(regexp_extract(decl, 'start=([0-9]+)', 1) AS BIGINT)
+      |      + (line_id - decl_id - 1) * CAST(regexp_extract(decl, 'step=([0-9]+)', 1) AS BIGINT) AS pos,
+      |    CAST(line AS BIGINT) AS score
+      |  FROM parsed WHERE line NOT LIKE 'fixedStep%')
+      |GROUP BY chrom ORDER BY chrom""".stripMargin
+
+  // ================= q63: dedup-upsert with deterministic ids =========
+
+  private val upsertOracle: String = {
+    val v = Synthetic.variantsSql
+    s"""WITH variants AS ($v),
+       |inc AS (
+       |  SELECT chromosome, start_pos, upper(ref_nuc) AS ref, upper(var_nuc) AS var,
+       |    count(*) AS n_rows
+       |  FROM variants GROUP BY 1, 2, 3, 4),
+       |existing AS (
+       |  SELECT chromosome, start_pos, upper(ref_nuc) AS ref, upper(var_nuc) AS var,
+       |    min(vid) AS ex_id
+       |  FROM variants WHERE vid % 3 = 0 GROUP BY 1, 2, 3, 4),
+       |mx AS (SELECT max(ex_id) AS max_ex FROM existing),
+       |joined AS (
+       |  SELECT i.*, e.ex_id FROM inc i
+       |  LEFT JOIN existing e USING (chromosome, start_pos, ref, var)),
+       |assigned AS (
+       |  SELECT chromosome, n_rows, ex_id IS NULL AS is_new,
+       |    CASE WHEN ex_id IS NOT NULL THEN ex_id
+       |         ELSE (SELECT max_ex FROM mx)
+       |           + row_number() OVER (PARTITION BY (ex_id IS NULL)
+       |               ORDER BY chromosome, start_pos, ref, var) END AS assigned_id
+       |  FROM joined)
+       |SELECT chromosome, CAST(sum(n_rows) AS BIGINT) AS rows_in,
+       |  count(*) AS distinct_keys,
+       |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_keys,
+       |  CAST(sum(assigned_id) AS BIGINT) AS sum_assigned_id
+       |FROM assigned
+       |GROUP BY chromosome ORDER BY chromosome""".stripMargin
+  }
+
+  // ================= q64: positional pairing join =====================
+
+  private val pairingOracle: String =
+    """WITH a AS (
+      |  SELECT l_partkey % 300 AS k, CAST(l_quantity AS BIGINT) AS val_a,
+      |    row_number() OVER (PARTITION BY l_partkey % 300
+      |      ORDER BY l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_suppkey % 300 AS k, CAST(l_linenumber AS BIGINT) AS val_b,
+      |    row_number() OVER (PARTITION BY l_suppkey % 300
+      |      ORDER BY l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |SELECT a.k % 10 AS bucket, count(*) AS cnt,
+      |  CAST(sum(a.val_a + b.val_b) AS BIGINT) AS sum_vals
+      |FROM a JOIN b ON a.k = b.k AND a.rn = b.rn
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ================= q65: VCF FORMAT parsing ==========================
+
+  private val formatOracle: String =
+    """WITH g AS (
+      |  SELECT
+      |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'GT:AD:DP'
+      |      WHEN 1 THEN 'GT:DP:AD' ELSE 'DP:GT:CLCAD2' END AS format,
+      |    CASE CAST((l_orderkey + l_linenumber) % 4 AS INT)
+      |      WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1' ELSE './.' END AS gt,
+      |    CAST(l_partkey % 30 AS STRING) || ',' || CAST(l_suppkey % 30 AS STRING) AS ad,
+      |    CAST(l_partkey % 30 + l_suppkey % 30 + l_orderkey % 7 AS STRING) AS dp
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT format,
+      |    CASE CAST(substr(format, 1, 2) AS STRING)
+      |      WHEN 'GT' THEN (CASE WHEN format = 'GT:AD:DP' THEN gt || ':' || ad || ':' || dp
+      |                           ELSE gt || ':' || dp || ':' || ad END)
+      |      ELSE dp || ':' || gt || ':' || ad END AS sample
+      |  FROM g),
+      |p AS (
+      |  SELECT string_split(format, ':') AS ff, string_split(sample, ':') AS ss FROM s),
+      |x AS (
+      |  SELECT ss[list_position(ff, 'GT')] AS gt,
+      |    ss[CASE WHEN list_position(ff, 'AD') = 0 THEN list_position(ff, 'CLCAD2')
+      |            ELSE list_position(ff, 'AD') END] AS ad,
+      |    CAST(ss[list_position(ff, 'DP')] AS BIGINT) AS dp
+      |  FROM p)
+      |SELECT gt, count(*) AS cnt, CAST(sum(dp) AS BIGINT) AS sum_dp,
+      |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(ad, ','), v -> CAST(v AS BIGINT))),
+      |    (acc, x) -> acc + x)) AS BIGINT) AS sum_ad
+      |FROM x
+      |WHERE gt NOT IN ('./.', '0/0')
+      |GROUP BY gt ORDER BY gt""".stripMargin
+
+  // ================= q66: SnpEff ANN parsing ==========================
+
+  private val annOracle: String =
+    """WITH src AS (
+      |  SELECT l_orderkey AS k, CAST(l_linenumber % 3 + 1 AS INT) AS n,
+      |    l_linenumber AS ln
+      |  FROM lineitem),
+      |gen AS (
+      |  SELECT k, 'DP=' || CAST(k % 100 AS STRING) || ';ANN='
+      |    || list_aggregate(
+      |         [substr('ACGT', CAST((k + e) % 4 AS INT) + 1, 1) || '|'
+      |           || (CASE CAST((k + e) % 4 AS INT) WHEN 0 THEN 'missense_variant'
+      |               WHEN 1 THEN 'synonymous_variant' WHEN 2 THEN 'stop_gained' ELSE '' END)
+      |           || '|'
+      |           || (CASE CAST((k * 3 + e) % 3 AS INT) WHEN 0 THEN 'HIGH'
+      |               WHEN 1 THEN 'MODERATE' ELSE 'LOW' END)
+      |           || '|gene' || CAST((k + e) % 50 AS STRING)
+      |          FOR e IN generate_series(1, n)], 'string_agg', ',')
+      |    || ';MQ=' || CAST(k % 60 AS STRING) AS info
+      |  FROM src),
+      |ann AS (
+      |  SELECT unnest(string_split(regexp_extract(info, 'ANN=([^;]+)', 1), ',')) AS entry
+      |  FROM gen),
+      |f AS (
+      |  SELECT string_split(entry, '|') AS fs FROM ann)
+      |SELECT coalesce(nullif(fs[2], ''), 'none') AS effect, fs[3] AS impact,
+      |  count(*) AS cnt
+      |FROM f
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("q60_cds_translate", (spark, dir) => cdsQuery(spark, dir), Some(cdsOracle)),
+
+    Q("q62_wig_parse",
+      (spark, dir) =>
+        WigParser.parse(wigLines(spark, dir), binSize = 1024L)
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("sum_pos"),
+            sum(col("score")).as("sum_score"))
+          .orderBy(col("chrom")),
+      Some(wigOracle)),
+
+    // J5/K4: natural-key dedup-upsert. Existing rows keep their id; new
+    // keys get max(existing) + row_number over the natural-key order —
+    // the deterministic replacement for the reference's Oracle sequence
+    // (`VariantLoad3.saveVariants:479-589`). The global row_number over
+    // *new keys only* is the one serial point; at 100 TB swap it for a
+    // per-partition offset assignment (count-by-partition + cumulative
+    // offsets), which keeps ids deterministic without a single-partition
+    // window.
+    Q("q63_dedup_upsert",
+      (spark, dir) => {
+        val v = Synthetic.variants(spark, dir)
+          .select(col("vid"), col("chromosome"), col("start_pos"),
+            upper(col("ref_nuc")).as("ref"), upper(col("var_nuc")).as("var"))
+        val keys = Seq("chromosome", "start_pos", "ref", "var")
+        val inc = v.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+        val existing = v.filter(col("vid") % 3 === 0)
+          .groupBy(keys.map(col): _*).agg(min(col("vid")).as("ex_id"))
+        val mx = existing.agg(max(col("ex_id")).as("max_ex"))
+        val joined = inc.join(existing, keys, "left_outer")
+          .crossJoin(broadcast(mx))
+        val wNew = Window.orderBy(keys.map(col): _*)
+        val newKeys = joined.filter(col("ex_id").isNull)
+          .withColumn("assigned_id", col("max_ex") + row_number().over(wNew))
+          .withColumn("is_new", lit(true))
+        val oldKeys = joined.filter(col("ex_id").isNotNull)
+          .withColumn("assigned_id", col("ex_id"))
+          .withColumn("is_new", lit(false))
+        newKeys.unionByName(oldKeys)
+          .groupBy(col("chromosome"))
+          .agg(sum(col("n_rows")).as("rows_in"),
+            count(lit(1)).as("distinct_keys"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("new_keys"),
+            sum(col("assigned_id")).as("sum_assigned_id"))
+          .orderBy(col("chromosome"))
+      },
+      Some(upsertOracle)),
+
+    // J11/W5: equal keys on both sides pair off positionally (the
+    // reference consumes first-match with iterator.remove; row_number on
+    // both sides + equi-join is the deterministic distributed form).
+    Q("q64_pairing_join",
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        val wa = Window.partitionBy(col("k")).orderBy(col("l_orderkey"), col("l_linenumber"))
+        val a = li.select((col("l_partkey") % 300).as("k"),
+            col("l_quantity").cast("long").as("val_a"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(wa))
+          .select(col("k"), col("val_a"), col("rn"))
+        val b = li.select((col("l_suppkey") % 300).as("k"),
+            col("l_linenumber").cast("long").as("val_b"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(wa))
+          .select(col("k").as("bk"), col("val_b"), col("rn").as("brn"))
+        a.join(b, col("k") === col("bk") && col("rn") === col("brn"))
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("val_a") + col("val_b")).as("sum_vals"))
+          .orderBy(col("bucket"))
+      },
+      Some(pairingOracle)),
+
+    // X9/F4/A5: FORMAT-field index resolution (AD with CLCAD2 fallback),
+    // genotype filter, AD-array depth sum.
+    Q("q65_vcf_format_parse",
+      (spark, dir) => {
+        val g = table(spark, dir, "lineitem").select(
+          expr("CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'GT:AD:DP' WHEN 1 THEN 'GT:DP:AD' ELSE 'DP:GT:CLCAD2' END").as("format"),
+          expr("CASE CAST((l_orderkey + l_linenumber) % 4 AS INT) WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1' ELSE './.' END").as("gt0"),
+          expr("CAST(l_partkey % 30 AS STRING) || ',' || CAST(l_suppkey % 30 AS STRING)").as("ad0"),
+          expr("CAST(l_partkey % 30 + l_suppkey % 30 + l_orderkey % 7 AS STRING)").as("dp0"))
+        val s = g.withColumn("sample",
+          when(col("format") === "GT:AD:DP", concat_ws(":", col("gt0"), col("ad0"), col("dp0")))
+            .when(col("format") === "GT:DP:AD", concat_ws(":", col("gt0"), col("dp0"), col("ad0")))
+            .otherwise(concat_ws(":", col("dp0"), col("gt0"), col("ad0"))))
+        val p = s.select(split(col("format"), ":").as("ff"), split(col("sample"), ":").as("ss"))
+        val adIdx = when(array_position(col("ff"), "AD") === 0,
+          array_position(col("ff"), "CLCAD2")).otherwise(array_position(col("ff"), "AD"))
+        p.select(
+            element_at(col("ss"), array_position(col("ff"), "GT").cast("int")).as("gt"),
+            element_at(col("ss"), adIdx.cast("int")).as("ad"),
+            element_at(col("ss"), array_position(col("ff"), "DP").cast("int")).cast("long").as("dp"))
+          .filter(!col("gt").isin("./.", "0/0"))
+          .withColumn("ad_sum",
+            aggregate(transform(split(col("ad"), ","), v => v.cast("long")),
+              lit(0L), (acc, x) => acc + x))
+          .groupBy(col("gt"))
+          .agg(count(lit(1)).as("cnt"), sum(col("dp")).as("sum_dp"), sum(col("ad_sum")).as("sum_ad"))
+          .orderBy(col("gt"))
+      },
+      Some(formatOracle)),
+
+    // S13/X11: SnpEff ANN= INFO parsing — regexp extract, explode on
+    // ',', split on '|', empty field -> null.
+    Q("q66_snpeff_ann_parse",
+      (spark, dir) => {
+        val gen = table(spark, dir, "lineitem").select(
+          col("l_orderkey").as("k"), (col("l_linenumber") % 3 + 1).cast("int").as("n"))
+          .withColumn("info", concat(
+            lit("DP="), (col("k") % 100).cast("string"), lit(";ANN="),
+            array_join(transform(sequence(lit(1), col("n")), e => concat(
+              element_at(split(lit("ACGT"), ""), ((col("k") + e) % 4).cast("int") + 1),
+              lit("|"),
+              when((col("k") + e) % 4 === 0, "missense_variant")
+                .when((col("k") + e) % 4 === 1, "synonymous_variant")
+                .when((col("k") + e) % 4 === 2, "stop_gained").otherwise(""),
+              lit("|"),
+              when((col("k") * 3 + e) % 3 === 0, "HIGH")
+                .when((col("k") * 3 + e) % 3 === 1, "MODERATE").otherwise("LOW"),
+              lit("|gene"), ((col("k") + e) % 50).cast("string"))), ","),
+            lit(";MQ="), (col("k") % 60).cast("string")))
+        gen.select(explode(split(regexp_extract(col("info"), "ANN=([^;]+)", 1), ",")).as("entry"))
+          .select(split(col("entry"), "\\|").as("fs"))
+          .select(
+            coalesce(nullif(element_at(col("fs"), 2), lit("")), lit("none")).as("effect"),
+            element_at(col("fs"), 3).as("impact"))
+          .groupBy(col("effect"), col("impact"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("effect"), col("impact"))
+      },
+      Some(annOracle))
+  )
+}
