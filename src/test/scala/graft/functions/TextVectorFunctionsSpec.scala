@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / counts / punct on hand cases") {
+    val r = Seq("  the quick, brown fox!  ").toDF("t")
+      .select(TextFunctions.tokenCount($"t").as("n"),
+        TextFunctions.punctCount($"t").as("p"),
+        TextFunctions.subTokenCount($"t").as("s"))
+      .collect().head
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 2) // ',' and '!'
+    assert(r.getInt(2) == 6) // the, quick, ',', brown, fox, '!'
+  }
+
+  test("fingerprint equals the JVM-side polynomial fold") {
+    val s = "hello world"
+    val expect = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+    val got = Seq(s).toDF("t")
+      .select(TextFunctions.fingerprint($"t")).collect().head.getLong(0)
+    assert(got == expect)
+  }
+
+  test("shingles are distinct lowercase n-grams") {
+    val got = Seq("ABAB").toDF("t")
+      .select(TextFunctions.shingles($"t", 2).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(got.toSet == Set("ab", "ba"))
+  }
+
+  test("identical texts share minhash signatures; disjoint texts do not") {
+    val df = Seq("the cat sat on the mat today", "the cat sat on the mat today",
+      "zq xv wk pj rn bl mm ggg")
+      .toDF("t")
+      .withColumn("sh", TextFunctions.shingles($"t", 3))
+      .withColumn("hl", transform($"sh", s => TextFunctions.shingleHash3(s)))
+      .withColumn("sig", TextFunctions.minhashSignature($"hl", 16))
+    val sigs = df.select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 16)
+  }
+
+  test("simhash of identical token sets match; hamming16 bounds") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "delta epsilon zeta")
+      .toDF("t")
+      .withColumn("hs", transform(array_distinct(TextFunctions.tokens(lower($"t"))),
+        tk => TextFunctions.polyHash(tk)))
+      .select(TextFunctions.simhash16($"hs").as("sh"))
+    val vals = df.collect().map(_.getLong(0))
+    assert(vals(0) == vals(1)) // order-independent
+    assert(vals.forall(v => v >= 0 && v < (1L << 16)))
+    val d = Seq((vals(0), vals(2))).toDF("a", "b")
+      .select(TextFunctions.hamming16($"a", $"b")).collect().head.getInt(0)
+    assert(d >= 0 && d <= 16)
+  }
+
+  test("langId picks the marker-majority language, und when none") {
+    val r = Seq("the cat and the dog is here",
+      "der hund und die katze ist das",
+      "xyzzy plugh")
+      .toDF("t").select(TextFunctions.langId($"t").as("l"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0; quantization stable") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+    val vals = df.collect().map(_.getDouble(0))
+    assert(math.abs(vals(0) - 1.0) < 1e-12)
+    assert(vals(1) == 0.0)
+  }
+
+  test("lshBucket is deterministic and within [0, 2^planes)") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1))
+    val df = Seq(v, v).toDF("v")
+      .select(VectorFunctions.lshBucket($"v", 8, 64).as("b"))
+    val got = df.collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    assert(got(0) >= 0 && got(0) < 256)
+  }
+}
