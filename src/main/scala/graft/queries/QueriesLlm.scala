@@ -401,6 +401,40 @@ object QueriesLlm {
           |ORDER BY cnt DESC, token
           |LIMIT 20""".stripMargin)),
 
+    // -- Multimodal plumbing: documents as opaque binary media columns,
+    // decoded (stub) and frame-sampled via Dataset.mapPartitions (see
+    // graft.operators.Multimodal). The test blobs are pure-ASCII text
+    // bytes, so DuckDB reproduces the byte features via ascii() — the
+    // plumbing under oracle check is schema/encoder/partition-iteration
+    // (frame geometry, stride sampling, per-frame byte folds).
+    Q("q51_multimodal_frames",
+      (spark, dir) => {
+        implicit val s = spark
+        val media = graft.operators.Multimodal.mediaFromDocuments(
+          table(spark, dir, "documents"))
+        graft.operators.Multimodal.sampleFrameFeatures(media, frameLen = 16, stride = 4)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("frames"),
+            sum(col("byte_sum")).as("sum_bytes"),
+            sum(col("byte_max").cast("long")).as("sum_frame_max"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT source, doc_id, text,
+          |    (length(text) + 15) // 16 AS n_frames
+          |  FROM documents),
+          |fr AS (
+          |  SELECT source, doc_id, frame_idx,
+          |    list_transform(string_split_regex(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16), ''),
+          |      c -> CAST(ascii(c) AS BIGINT)) AS bytes
+          |  FROM f, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx))
+          |SELECT source, count(*) AS frames,
+          |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> a + x)) AS BIGINT) AS sum_bytes,
+          |  CAST(sum(list_max(bytes)) AS BIGINT) AS sum_frame_max
+          |FROM fr GROUP BY source ORDER BY source""".stripMargin)),
+
     // -- Rolling-hash document fingerprint (the exact-dedup / shard-key
     // primitive; engine-independent integer polynomial).
     Q("q50_doc_fingerprint",
