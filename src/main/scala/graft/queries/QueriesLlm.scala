@@ -33,6 +33,12 @@ object QueriesLlm {
   private val Dim = 64                  // embedding dimensionality
   private val Planes = 8                // LSH hyperplanes
 
+  /** J(A,B) <= min(|A|,|B|)/max(|A|,|B|): pairs failing
+    * 10*min >= 7*max cannot reach the 0.700 threshold, so this filter
+    * never changes results — it only skips the expensive intersection. */
+  private def sizeRatioOk(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
+    least(sa, sb) * 10 >= greatest(sa, sb) * 7
+
   // ---- shared DuckDB fragments (mirror the Spark expressions) --------
 
   /** char 3-gram distinct shingles of lower(text). */
@@ -125,27 +131,33 @@ object QueriesLlm {
       (spark, dir) => {
         val sh = table(spark, dir, "documents")
           .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+          .withColumn("s", size(col("sh")))
         val sig = sh
           .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
           .withColumn("sig", TF.minhashSignature(col("hl"), K))
-        val bands = sig.select(col("doc_id"),
+        val bands = sig.select(col("doc_id"), col("s"),
           posexplode(array((0 until Bands).map(b =>
             TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+        // the size-ratio cut inside the join condition prunes candidate
+        // pairs that provably cannot reach the Jaccard threshold before
+        // they hit the distinct + intersection stages
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") &&
+              sizeRatioOk(col("a.s"), col("b.s")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
+        // verify candidates with bitmap intersections (AND+popcount)
+        // instead of string-array hash intersection — see SetSimJoin
+        val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+          .select(col("doc_id"), col("sz"), col("bm"))
         cand
-          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-          .drop("doc_id")
-          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-          .drop("doc_id")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-          .withColumn("jacc_x1000", expr("CAST((inter * 1000) DIV uni AS BIGINT)"))
+          .join(bmdf.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("bm").as("bma")), "doc_a")
+          .join(bmdf.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("bm").as("bmb")), "doc_b")
+          .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
+            col("bma"), col("bmb"), col("sza"), col("szb")))
           .filter(col("jacc_x1000") >= JaccThreshold)
           .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -211,16 +223,27 @@ object QueriesLlm {
     // q41.
     Q("q43_dedup_ngram_jaccard",
       (spark, dir) => {
+        // exact quadratic baseline, made scan-cheap: the tiny shingle
+        // universe (~400 3-grams here) defeats prefix filtering — every
+        // element is frequent and nearly all same-lang pairs are true
+        // candidates — so instead each set becomes a dictionary bitmap
+        // and the unavoidable pair enumeration costs AND+popcount per
+        // pair (SetSimJoin). Blocking (lang equality) plus the
+        // size-ratio necessary condition stay in the join predicate;
+        // results are provably identical to the plain quadratic scan
+        // the oracle runs.
         val sh = table(spark, dir, "documents")
           .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
-        sh.as("a").join(sh.as("b"),
-            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
-            size(array_union(col("a.sh"), col("b.sh"))).as("uni"))
-          .withColumn("jacc_x1000", expr("CAST((inter * 1000) DIV uni AS BIGINT)"))
+        val bm = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+          .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
+        bm.as("a").join(broadcast(bm.as("b")),
+            col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              sizeRatioOk(col("a.sz"), col("b.sz")))
+          .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
+            col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
           .filter(col("jacc_x1000") >= JaccThreshold)
-          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(
@@ -238,13 +261,17 @@ object QueriesLlm {
     // expressions (no UDF, no collect).
     Q("q44_knn_bruteforce",
       (spark, dir) => {
+        // per-vector norms are computed once on each side, not per pair
+        // (sqrt is deterministic, so sim is bit-identical to the inline
+        // form the oracle computes)
         val e = table(spark, dir, "embeddings")
           .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
         val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
         broadcast(q).join(e, col("vec_id") =!= col("qid"))
-          .withColumn("sim", VF.cosine(col("qv"), col("v")))
+          .withColumn("sim", VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
@@ -272,11 +299,13 @@ object QueriesLlm {
         val e = table(spark, dir, "embeddings")
           .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
           .withColumn("bucket", VF.lshBucket(col("v"), Planes, Dim))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket"), col("nrm").as("qnrm"))
         val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
         q.join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-          .withColumn("sim", VF.cosine(col("qv"), col("v")))
+          .withColumn("sim", VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("qid"), col("rn").cast("long").as("rn"), col("vec_id"),
@@ -304,8 +333,9 @@ object QueriesLlm {
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
           .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("sim", VF.cosine(col("a.v"), col("b.v")))
+          .withColumn("sim", VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .withColumn("sim_x1e6", VF.quantize1e6(col("sim")))
           .filter(col("sim_x1e6") >= 400000L)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim_x1e6"))

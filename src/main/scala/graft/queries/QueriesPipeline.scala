@@ -448,6 +448,96 @@ object QueriesPipeline {
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("effect"), col("impact"))
       },
-      Some(annOracle))
+      Some(annOracle)),
+
+    // X10/X12/X14: INFO key=value map extraction (str_to_map), the
+    // `RGDID:<int>;<hgvs>` id parse, digit-stripped positions
+    // ("1,234" -> 1234) and chr-from-filename. The oracle reproduces the
+    // *values* with DuckDB regexps (DuckDB has no str_to_map).
+    Q("q67_scalar_parsers",
+      (spark, dir) => {
+        val src = table(spark, dir, "lineitem").select(
+          col("l_orderkey").as("k"), col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .withColumn("info", concat(
+            lit("END="), (col("k") % 9999).cast("string"),
+            lit(";DP="), (col("p") % 100).cast("string"),
+            lit(";AC="), (col("s") % 10).cast("string")))
+          .withColumn("id_col", concat(
+            lit("RGDID:"), (col("k") % 100000).cast("string"),
+            lit(";c."), (col("p") % 5000).cast("string"), lit("A>G")))
+          .withColumn("pos_str", concat(
+            (col("p") % 900 + 100).cast("string"), lit(","),
+            (col("s") % 900 + 100).cast("string")))
+          .withColumn("fname", concat(lit("chr"), (col("k") % 20 + 1).cast("string"), lit(".txt")))
+        src
+          .withColumn("m", expr("str_to_map(info, ';', '=')"))
+          .select(
+            regexp_extract(col("fname"), "chr(.+)\\.txt", 1).as("chr"),
+            element_at(col("m"), "DP").cast("long").as("dp"),
+            element_at(col("m"), "AC").cast("long").as("ac"),
+            regexp_extract(col("id_col"), "RGDID:([0-9]+);", 1).cast("long").as("rgd_id"),
+            regexp_replace(col("pos_str"), "[^0-9]", "").cast("long").as("pos"))
+          .groupBy(col("chr"))
+          .agg(count(lit(1)).as("cnt"), sum(col("dp")).as("sum_dp"),
+            sum(col("ac")).as("sum_ac"), sum(col("rgd_id")).as("sum_rgd"),
+            sum(col("pos")).as("sum_pos"))
+          .orderBy(col("chr"))
+      },
+      Some(
+        """SELECT chr, count(*) AS cnt, CAST(sum(dp) AS BIGINT) AS sum_dp,
+          |  CAST(sum(ac) AS BIGINT) AS sum_ac, CAST(sum(rgd_id) AS BIGINT) AS sum_rgd,
+          |  CAST(sum(pos) AS BIGINT) AS sum_pos
+          |FROM (
+          |  SELECT CAST(l_orderkey % 20 + 1 AS STRING) AS chr,
+          |    l_partkey % 100 AS dp,
+          |    l_suppkey % 10 AS ac,
+          |    l_orderkey % 100000 AS rgd_id,
+          |    CAST(CAST(l_partkey % 900 + 100 AS STRING)
+          |      || CAST(l_suppkey % 900 + 100 AS STRING) AS BIGINT) AS pos
+          |  FROM lineitem)
+          |GROUP BY chr ORDER BY chr""".stripMargin)),
+
+    // J9/W1 as a join: rsId enrichment with first-row-wins semantics
+    // made deterministic — the dim side is reduced to one row per key
+    // with row_number before the left join (the reference's cursor-order
+    // "first match" + 1-row memo cache, `CommonFormat2Writer
+    // .getDbSnpRsId:123-161`, becomes order-explicit and distributed).
+    Q("q68_rsid_enrich",
+      (spark, dir) => {
+        val v = Synthetic.variants(spark, dir)
+          .select(col("vid"), col("chromosome"), col("start_pos"))
+        val dim = table(spark, dir, "part").select(
+          expr(s"CASE (p_partkey % 22) WHEN 20 THEN 'X' WHEN 21 THEN 'Y' ELSE CAST((p_partkey % 22) + 1 AS STRING) END").as("d_chr"),
+          ((col("p_partkey") * 137) % 3000000 + 1).as("d_pos"),
+          concat(lit("rs"), col("p_partkey").cast("string")).as("rs_id"))
+        val w = Window.partitionBy(col("d_chr"), col("d_pos")).orderBy(col("rs_id"))
+        val first = dim.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        v.join(broadcast(first),
+            col("chromosome") === col("d_chr") && col("start_pos") === col("d_pos"),
+            "left_outer")
+          .groupBy(col("chromosome"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("rs_id").isNotNull, 1L).otherwise(0L)).as("enriched"))
+          .orderBy(col("chromosome"))
+      },
+      Some {
+        val v = Synthetic.variantsSql
+        s"""WITH variants AS ($v),
+           |dim AS (
+           |  SELECT CASE (p_partkey % 22) WHEN 20 THEN 'X' WHEN 21 THEN 'Y'
+           |           ELSE CAST((p_partkey % 22) + 1 AS STRING) END AS d_chr,
+           |    (p_partkey * 137) % 3000000 + 1 AS d_pos,
+           |    'rs' || CAST(p_partkey AS STRING) AS rs_id
+           |  FROM part),
+           |first_rs AS (
+           |  SELECT d_chr, d_pos, rs_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY d_chr, d_pos ORDER BY rs_id) AS rn
+           |    FROM dim) WHERE rn = 1)
+           |SELECT chromosome, count(*) AS cnt,
+           |  CAST(sum(CASE WHEN rs_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS enriched
+           |FROM variants v
+           |LEFT JOIN first_rs f ON v.chromosome = f.d_chr AND v.start_pos = f.d_pos
+           |GROUP BY chromosome ORDER BY chromosome""".stripMargin
+      })
   )
 }
