@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status", "q44_knn_bruteforce")) {
+      println(s"===== $name =====")
+      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

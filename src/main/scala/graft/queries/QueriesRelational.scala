@@ -239,6 +239,26 @@ object QueriesRelational {
              |ORDER BY price_cents DESC, o_orderkey
              |LIMIT 10""".stripMargin)),
 
+    // Event-time tumbling windows (the batch form of the streaming
+    // windowed aggregation in graft.streaming.StreamingOps; same
+    // window() expression Structured Streaming uses).
+    Q("q14_event_time_windows",
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_cents"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+            col("event_type"), col("cnt"), col("sum_cents"))
+          .orderBy(col("w_start"), col("event_type")),
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+             |  event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // X10/X12-analog: JSON prop extraction + grouped aggregation.
     Q("q13_json_props",
       (spark, dir) =>
