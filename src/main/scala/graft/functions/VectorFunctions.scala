@@ -36,6 +36,13 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  // Note (measured, sf0.1, local[32]): an "unrolled" dot product —
+  // 64 element_at products summed as a flat expression tree — is ~3x
+  // SLOWER than this fold form (72s vs 26s for the 12.5M-pair scan):
+  // per-index element_at pays a bounds check per access and the giant
+  // expression tree defeats codegen, while zip_with+aggregate evaluate
+  // as one tight loop over the array. Keep the folds.
+
   /** floor(x * 1e6) as a hash-stable integer quantization. */
   def quantize1e6(x: Column): Column = floor(x * 1e6).cast("long")
 
