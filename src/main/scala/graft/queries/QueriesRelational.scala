@@ -259,6 +259,26 @@ object QueriesRelational {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // W1-reject: keep only keys with exactly one row (the reference's
+    // getVarPos discards rgd_ids mapped to multiple positions,
+    // `ClinVar2Vcf.java:420-444`) — count over partition = 1.
+    Q("q15_single_position_keys",
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        val w = Window.partitionBy(col("l_partkey"))
+        li.withColumn("k_rows", count(lit(1)).over(w))
+          .filter(col("k_rows") === 1)
+          .groupBy((col("l_partkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_orderkey")).as("sum_ok"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT l_partkey % 10 AS bucket, count(*) AS cnt,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+             |FROM (SELECT *, count(*) OVER (PARTITION BY l_partkey) AS k_rows
+             |      FROM lineitem WHERE l_orderkey % 7 = 0)
+             |WHERE k_rows = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X10/X12-analog: JSON prop extraction + grouped aggregation.
     Q("q13_json_props",
       (spark, dir) =>
