@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic dense id assignment without a single global window.
+  *
+  * The reference allocates ids from an Oracle sequence one row at a
+  * time (`managementDAO.createRgdId`, the one driver-side serialization
+  * point in the load — SURVEY §7.4.3). A naive distributed replacement
+  * is `row_number() over (order by key)` — deterministic, but a global
+  * window funnels every row through one partition.
+  *
+  * Scale form (this object): range-partition by the key, number rows
+  * *within* each partition in parallel, then add per-partition offsets
+  * computed from the (tiny) partition row counts:
+  *
+  *   1. `repartitionByRange(key)` — ordered, disjoint key ranges;
+  *   2. per-partition `row_number` over a window PARTITIONED by
+  *      `spark_partition_id()` (parallel — no global shuffle to one
+  *      reducer);
+  *   3. partition counts (numPartitions rows) → running offsets via a
+  *      window over that tiny frame → broadcast join back.
+  *
+  * Deterministic for a fixed partition count: range boundaries are
+  * sampled but the final ordering (partition ranges + in-partition
+  * sort) is total, so re-runs yield identical ids. Pass an explicit
+  * `numPartitions` for cross-run stability.
+  */
+object IdAssign {
+
+  /** Add `idCol` = offset + dense 1-based rank of each row under the
+    * total order `keys`. Rows must be distinct on `keys`. */
+  def assignDense(df: DataFrame, keys: Seq[String], idCol: String,
+                  offset: Long = 0L, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(keys.map(col): _*)
+    val numbered = ranged.withColumn("__rn", row_number().over(wIn))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    numbered.join(broadcast(offsets), "__pid")
+      .withColumn(idCol, lit(offset) + col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+}
