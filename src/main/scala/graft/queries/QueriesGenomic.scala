@@ -468,6 +468,69 @@ object QueriesGenomic {
           |GROUP BY allele
           |ORDER BY allele""".stripMargin))),
 
+    // X22: protein flank QC (reference `Polyphen.java:205-341`): the
+    // stated protein's residues left and right of the mutation site
+    // must match the reference protein, and a stop codon strictly
+    // before the end marks the row suspect.
+    Q("q35_protein_flank_qc",
+      (spark, dir) => {
+        val d = table(spark, dir, "part")
+          .select(col("p_partkey"),
+            array_join(transform(
+              sequence(lit(1), lit(3) * (lit(4) + (col("p_partkey") % 4).cast("int"))),
+              i => element_at(split(lit("ACGT"), ""), ((col("p_partkey") * 7 + i * 13 + (i * i) % 5) % 4).cast("int") + 1)),
+              "").as("dna"))
+          .withColumn("protein", DnaFunctions.translateDna(col("dna")))
+          .withColumn("plen", length(col("protein")))
+          .withColumn("aa_pos", (col("p_partkey") % col("plen")).cast("int") + 1)
+          // stated protein: same as reference, except every 11th part
+          // gets a corrupted residue at position 1 (away from aa_pos
+          // when aa_pos > 1)
+          .withColumn("stated",
+            when(col("p_partkey") % 11 === 0 && col("aa_pos") > 1,
+              concat(lit("Z"), expr("substring(protein, 2)")))
+              .otherwise(col("protein")))
+        d.withColumn("left_ok",
+            expr("substring(stated, 1, aa_pos - 1) = substring(protein, 1, aa_pos - 1)"))
+          .withColumn("right_ok",
+            expr("substring(stated, aa_pos + 1) = substring(protein, aa_pos + 1)"))
+          .withColumn("stop_in_middle",
+            expr("instr(protein, '*') BETWEEN 1 AND plen - 1"))
+          .groupBy(col("left_ok"), col("right_ok"), col("stop_in_middle"))
+          .agg(count(lit(1)).as("cnt"), sum(col("aa_pos").cast("long")).as("sum_aa_pos"))
+          .orderBy(col("left_ok"), col("right_ok"), col("stop_in_middle"))
+      },
+      Some {
+        val protSql = QueriesGenomic.codonCaseSql("substr(dna, (j - 1) * 3 + 1, 3)")
+        s"""WITH dna_t AS (
+           |  SELECT p_partkey,
+           |    list_aggregate(
+           |      [substr('ACGT', CAST((p_partkey * 7 + i * 13 + (i * i) % 5) % 4 AS INT) + 1, 1)
+           |       FOR i IN generate_series(1, 3 * (4 + CAST(p_partkey % 4 AS INT)))],
+           |      'string_agg', '') AS dna
+           |  FROM part),
+           |prot AS (
+           |  SELECT p_partkey,
+           |    list_aggregate([$protSql FOR j IN generate_series(1, length(dna) // 3)],
+           |      'string_agg', '') AS protein
+           |  FROM dna_t),
+           |st AS (
+           |  SELECT p_partkey, protein, length(protein) AS plen,
+           |    CAST(p_partkey % length(protein) AS INT) + 1 AS aa_pos
+           |  FROM prot),
+           |stated_t AS (
+           |  SELECT *,
+           |    CASE WHEN p_partkey % 11 = 0 AND aa_pos > 1
+           |         THEN 'Z' || substr(protein, 2) ELSE protein END AS stated
+           |  FROM st)
+           |SELECT substr(stated, 1, aa_pos - 1) = substr(protein, 1, aa_pos - 1) AS left_ok,
+           |  substr(stated, aa_pos + 1) = substr(protein, aa_pos + 1) AS right_ok,
+           |  instr(protein, '*') BETWEEN 1 AND plen - 1 AS stop_in_middle,
+           |  count(*) AS cnt, CAST(sum(aa_pos) AS BIGINT) AS sum_aa_pos
+           |FROM stated_t
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      }),
+
     // X13: IUPAC ambiguity expansion.
     Q("q34_iupac_expand",
       (spark, dir) =>
