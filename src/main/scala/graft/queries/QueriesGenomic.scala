@@ -531,6 +531,35 @@ object QueriesGenomic {
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
       }),
 
+    // J15: strand lookup — all map rows covering a position, DISTINCT
+    // strands concatenated (reference `Polyphen.getStrand:387-410`).
+    // collect_set is unordered, so the concat sorts first to stay
+    // deterministic (SURVEY §4 ordering note).
+    Q("q36_strand_lookup",
+      (spark, dir) => {
+        val v = Synthetic.variants(spark, dir)
+          .select(col("vid"), col("chromosome"), col("start_pos"))
+        val g = Synthetic.genes(spark, dir)
+          .withColumn("strand", when(col("gene_id") % 2 === 0, "+").otherwise("-"))
+        val joined = RangeJoin.pointInInterval(
+          v, g, Seq("chromosome"), Seq("g_chr"), "start_pos", "g_start", "g_stop",
+          binSize = 100000L, broadcastIntervals = true)
+        joined.groupBy(col("vid"))
+          .agg(array_join(sort_array(collect_set(col("strand"))), "").as("strands"))
+          .groupBy(col("strands"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("strands"))
+      },
+      Some(withVG(
+        """SELECT strands, count(*) AS cnt FROM (
+          |  SELECT v.vid, string_agg(DISTINCT s.strand, '' ORDER BY s.strand) AS strands
+          |  FROM variants v
+          |  JOIN (SELECT *, CASE WHEN gene_id % 2 = 0 THEN '+' ELSE '-' END AS strand
+          |        FROM genes) s
+          |    ON v.chromosome = s.g_chr AND v.start_pos BETWEEN s.g_start AND s.g_stop
+          |  GROUP BY v.vid)
+          |GROUP BY strands ORDER BY strands""".stripMargin))),
+
     // X13: IUPAC ambiguity expansion.
     Q("q34_iupac_expand",
       (spark, dir) =>
