@@ -39,6 +39,35 @@ object QueriesLlm {
   private def sizeRatioOk(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
     least(sa, sb) * 10 >= greatest(sa, sb) * 7
 
+  /** Exact same-language Jaccard near-dup pairs via the SetSimJoin
+    * bitmap pipeline — shared by q43 (pair listing) and q52
+    * (clustering). Columns: doc_a, doc_b, jacc_x1000. */
+  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sh = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
+    val bm = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+      .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
+    bm.as("a").join(broadcast(bm.as("b")),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          sizeRatioOk(col("a.sz"), col("b.sz")))
+      .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
+        col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
+      .filter(col("jacc_x1000") >= JaccThreshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
+  }
+
+  /** DuckDB CTE fragment producing the same near-dup pairs (plain
+    * quadratic form); expects `sh` from [[shCte]] in scope. */
+  private def pairsCteSql: String =
+    s"""pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      (len(list_intersect(a.sh, b.sh)) * 1000)
+       |        // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
+       |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |  WHERE jacc_x1000 >= $JaccThreshold)""".stripMargin
+
   // ---- shared DuckDB fragments (mirror the Spark expressions) --------
 
   /** char 3-gram distinct shingles of lower(text). */
@@ -221,31 +250,16 @@ object QueriesLlm {
     // baseline that q41 approximates. Blocking key (lang) bounds the
     // pair explosion; at 100 TB block on (lang, length-band) and prefer
     // q41.
+    // exact quadratic baseline, made scan-cheap: the tiny shingle
+    // universe (~400 3-grams here) defeats prefix filtering — every
+    // element is frequent and nearly all same-lang pairs are true
+    // candidates — so instead each set becomes a dictionary bitmap and
+    // the unavoidable pair enumeration costs AND+popcount per pair
+    // (SetSimJoin). Blocking (lang equality) plus the size-ratio
+    // necessary condition stay in the join predicate; results are
+    // provably identical to the plain quadratic scan the oracle runs.
     Q("q43_dedup_ngram_jaccard",
-      (spark, dir) => {
-        // exact quadratic baseline, made scan-cheap: the tiny shingle
-        // universe (~400 3-grams here) defeats prefix filtering — every
-        // element is frequent and nearly all same-lang pairs are true
-        // candidates — so instead each set becomes a dictionary bitmap
-        // and the unavoidable pair enumeration costs AND+popcount per
-        // pair (SetSimJoin). Blocking (lang equality) plus the
-        // size-ratio necessary condition stay in the join predicate;
-        // results are provably identical to the plain quadratic scan
-        // the oracle runs.
-        val sh = table(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
-        val bm = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
-          .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
-        bm.as("a").join(broadcast(bm.as("b")),
-            col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              sizeRatioOk(col("a.sz"), col("b.sz")))
-          .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
-            col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
-          .filter(col("jacc_x1000") >= JaccThreshold)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (spark, dir) => jaccardPairs(spark, dir).orderBy(col("doc_a"), col("doc_b")),
       Some(
         s"""WITH $shCte
            |SELECT doc_a, doc_b, jacc_x1000 FROM (
@@ -464,6 +478,37 @@ object QueriesLlm {
           |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> a + x)) AS BIGINT) AS sum_bytes,
           |  CAST(sum(list_max(bytes)) AS BIGINT) AS sum_frame_max
           |FROM fr GROUP BY source ORDER BY source""".stripMargin)),
+
+    // -- Near-dup clustering: pairs -> connected components -> one
+    // canonical doc (min id) per cluster. Spark runs iterative
+    // min-label propagation (operators/ConnectedComponents); the oracle
+    // computes the transitive closure with a recursive CTE — same
+    // components either way.
+    Q("q52_dedup_clusters",
+      (spark, dir) => {
+        val pairs = jaccardPairs(spark, dir)
+        graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("sum_canonical"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(
+        s"""WITH RECURSIVE $shCte,
+           |$pairsCteSql,
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+           |cl AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+           |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+           |  CAST(sum(comp) AS BIGINT) AS sum_canonical
+           |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // -- Rolling-hash document fingerprint (the exact-dedup / shard-key
     // primitive; engine-independent integer polynomial).

@@ -279,6 +279,25 @@ object QueriesRelational {
              |WHERE k_rows = 1
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Skew-safe two-phase aggregation (operators/SkewSalt): identical
+    // result to a plain groupBy — the oracle runs the plain form.
+    Q("q16_salted_agg",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 100).as("a"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        graft.operators.SkewSalt.saltedSumCount(
+            e, Seq("event_type"), Seq(col("a"), col("cents")), salts = 16,
+            sums = Seq("a", "cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(user_id % 100) AS BIGINT) AS sum_a,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // X10/X12-analog: JSON prop extraction + grouped aggregation.
     Q("q13_json_props",
       (spark, dir) =>

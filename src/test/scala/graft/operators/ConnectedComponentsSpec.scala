@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** brute-force union-find for the expected labeling */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("label propagation matches union-find on random graphs, including chains") {
+    val rnd = new Random(13)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2) ++
+      // a long chain exercises multi-round propagation
+      (100L until 115L).map(i => (i, i + 1))
+    val got = ConnectedComponents.components(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = bruteComponents(edges)
+    assert(got == expect)
+    // the chain collapsed to its minimum
+    (100L to 115L).foreach(i => assert(got(i) == 100L))
+  }
+}
