@@ -5,5 +5,6 @@ package graft.queries
   * hash-match correctness gate. */
 object Catalog {
   def all: Seq[Q] =
-    QueriesRelational.all ++ QueriesGenomic.all ++ QueriesPipeline.all ++ QueriesLlm.all
+    QueriesRelational.all ++ QueriesStreaming.all ++ QueriesGenomic.all ++
+      QueriesPipeline.all ++ QueriesLlm.all
 }
