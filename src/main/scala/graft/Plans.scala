@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -52,10 +52,20 @@ object SetSimJoin {
     df.join(bm, idCol).withColumn("sz", size(col(shCol)))
   }
 
-  /** |A∩B| from two equal-length bitmaps: popcount of the AND. */
+  /** |A∩B| from two equal-length bitmaps: popcount of the AND, as the
+    * native codegen expression `bitmap_inter_count`
+    * ([[graft.functions.BitmapIntersectCount]], registered by
+    * `GraftExtensions`) — a fused per-pair loop with no intermediate
+    * array. */
   def interSize(bmA: Column, bmB: Column): Column =
+    call_function("bitmap_inter_count", bmA, bmB)
+
+  /** Built-ins-only form of [[interSize]] (`zip_with` + `aggregate`
+    * fold); works without `GraftExtensions`, used to cross-check the
+    * native expression. */
+  def interSizeFold(bmA: Column, bmB: Column): Column =
     aggregate(zip_with(bmA, bmB, (x, y) => bit_count(x.bitwiseAND(y))),
-      lit(0), (acc, x) => acc + x)
+      lit(0), (acc, x) => acc + x).cast("long")
 
   /** floor(1000 * J(A,B)) via bitmaps + set sizes (integer division —
     * mirrors `(inter * 1000) DIV union`). */

@@ -51,6 +51,21 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case _ => false
         } =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // Joins that already carry a cross-side equality conjunct get a
+      // hash/sort-merge plan from the planner (and are often already
+      // explicitly binned via operators/RangeJoin); re-binning them
+      // would duplicate the interval side's Generate for no plan
+      // improvement. The rule exists to rescue joins that would
+      // otherwise be nested-loop — pure range theta joins.
+      val hasEqui = conjuncts.exists {
+        case EqualTo(l, r) =>
+          (refsOnly(l, left) && refsOnly(r, right)) ||
+            (refsOnly(l, right) && refsOnly(r, left))
+        case EqualNullSafe(l, r) =>
+          (refsOnly(l, left) && refsOnly(r, right)) ||
+            (refsOnly(l, right) && refsOnly(r, left))
+        case _ => false
+      }
       // find p >= lo (point on left, bound on right) and p <= hi pairs
       val lower: Option[(Expression, Expression)] = conjuncts.collectFirst {
         case GreaterThanOrEqual(p, lo) if refsOnly(p, left) && refsOnly(lo, right) => (p, lo)
@@ -60,7 +75,8 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case LessThanOrEqual(p, hi) if refsOnly(p, left) && refsOnly(hi, right) => (p, hi)
         case GreaterThanOrEqual(hi, p) if refsOnly(p, left) && refsOnly(hi, right) => (p, hi)
       }
-      (lower, upper) match {
+      if (hasEqui) j
+      else (lower, upper) match {
         case (Some((p1, lo)), Some((p2, hi)))
             if p1.semanticEquals(p2) &&
               p1.dataType == LongType && lo.dataType == LongType && hi.dataType == LongType =>
@@ -81,8 +97,13 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `SparkSessionExtensions` installer for the graft optimizer rules. */
+/** `SparkSessionExtensions` installer for the graft optimizer rules and
+  * native functions. Every session the library builds (`Verify`,
+  * `Bench`, smoke, tests) goes through
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
+    ext.injectFunction(graft.functions.BitmapIntersectCount.functionDescription)
+  }
 }

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the suite runtime dominated by actual query work, not startup). */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

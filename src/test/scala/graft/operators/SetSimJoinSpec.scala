@@ -36,9 +36,43 @@ class SetSimJoinSpec extends SparkSpec {
     val m = bm.as("a").join(bm.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
         SetSimJoin.interSize(col("a.bm"), col("b.bm")).as("i"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    assert(m((1L, 2L)) == 3)
-    assert(m((1L, 3L)) == 0)
-    assert(m((2L, 3L)) == 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 2L)) == 3L)
+    assert(m((1L, 3L)) == 0L)
+    assert(m((2L, 3L)) == 0L)
+  }
+
+  test("native bitmap_inter_count matches the built-ins fold (codegen, no fallback)") {
+    val rnd = new Random(21)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(4)(rnd.nextLong()), Seq.fill(4)(rnd.nextLong()))
+    }
+    // fail loudly if doGenCode doesn't compile instead of silently
+    // falling back to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // repartition keeps ConvertToLocalRelation from evaluating the
+      // projection driver-side — the select must run through codegen
+      val df = rows.toDF("id", "x", "y").repartition(2)
+        .select(col("id"),
+          SetSimJoin.interSize(col("x"), col("y")).as("native"),
+          SetSimJoin.interSizeFold(col("x"), col("y")).as("fold"))
+      assert(df.filter(col("native") =!= col("fold")).count() == 0)
+      assert(df.filter(col("native") > 0).count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("bitmap_inter_count"), plan)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("bitmap_inter_count: unequal lengths treat missing words as 0; null words skipped") {
+    val one = spark.sql(
+      "SELECT bitmap_inter_count(array(3L, 7L), array(1L)) AS c").head().getLong(0)
+    assert(one == 1L)
+    val withNull = spark.sql(
+      "SELECT bitmap_inter_count(array(3L, NULL), array(1L, 1L)) AS c").head().getLong(0)
+    assert(withNull == 1L)
+    val nullArr = spark.sql(
+      "SELECT bitmap_inter_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS c").head()
+    assert(nullArr.isNullAt(0))
   }
 }
