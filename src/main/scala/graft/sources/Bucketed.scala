@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table plumbing for co-located joins.
+  *
+  * The reference's biggest repeated join is new-vs-existing variants on
+  * the natural key (`VariantLoad3.saveVariants:483-532` — rebuilt as an
+  * in-memory hash map per chromosome, capped by one JVM's heap). At
+  * 100 TB the existing-variants side is far too large to broadcast and
+  * re-shuffling it on every incremental load wave is the dominant cost:
+  * both sides of every load-wave join pay a full shuffle.
+  *
+  * Bucketing is the standing answer: write the persistent table once,
+  * hash-bucketed (and sorted) by the join key. Every subsequent join
+  * against a table bucketed on the same key with the same bucket count
+  * — or against a freshly shuffled small side — reads bucket files
+  * whose partitioning Catalyst recognizes (`HashPartitioning` reported
+  * by the scan), so the sort-merge join plans with NO Exchange on the
+  * bucketed side(s): the shuffle is paid once at write time, amortized
+  * over every future load wave. Bucket count sizes the parallelism:
+  * pick `tableBytes / ~256 MB` at write time.
+  *
+  * `BucketedJoinSpec` asserts the zero-exchange plan.
+  */
+object Bucketed {
+
+  /** Write `df` as a managed parquet table bucketed and sorted by
+    * `keys` — the once-per-table shuffle that makes all later joins on
+    * `keys` exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String], mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+}
