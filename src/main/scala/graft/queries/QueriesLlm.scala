@@ -364,6 +364,72 @@ object QueriesLlm {
            |WHERE sim_x1e6 >= 400000
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // -- IVF (inverted-file) ANN: the third point on the ANN ladder —
+    // q44 scans everything (exact), q45 prunes by random-hyperplane
+    // buckets (data-independent), IVF prunes by *coarse quantization*:
+    // every vector is assigned to its nearest centroid once, and a
+    // query searches only its own cell (nprobe=1 here; higher nprobe =
+    // explode the query onto its P nearest cells). Centroids are
+    // deterministic stride-sampled seeds standing in for k-means (the
+    // cell-index dataflow — assign, shuffle by cell, per-cell top-k —
+    // is identical however centroids are trained). At scale: centroids
+    // broadcast (k·dim doubles), assignment is one map-side pass
+    // (O(N·C·d), no shuffle), the search join shuffles by cell only —
+    // candidate count drops by ~C× vs the brute-force scan.
+    Q("q53_knn_ivf",
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val cents = e.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        // nearest-centroid assignment on quantized sims (stable across
+        // engines; ties broken by centroid id)
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        val assign = e.crossJoin(broadcast(cents))
+          .withColumn("csim",
+            VF.quantize1e6(VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
+          .withColumn("arn", row_number().over(aw))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        val q = assign.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("cell"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim_x1e6").desc, col("vec_id"))
+        q.join(assign, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("vec_id"), col("sim_x1e6"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(
+        s"""WITH $embCte,
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 40 = 0),
+           |ascored AS (
+           |  SELECT e.vec_id, e.v, c.cid,
+           |    CAST(floor((${cosSql("e.v", "cv")}) * 1e6) AS BIGINT) AS csim
+           |  FROM e CROSS JOIN c),
+           |assign AS (
+           |  SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY csim DESC, cid) AS arn FROM ascored)
+           |  WHERE arn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv, cell FROM assign WHERE vec_id % 17 = 0),
+           |cand AS (
+           |  SELECT q.qid, a.vec_id,
+           |    CAST(floor((${cosSql("qv", "a.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |  FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.qid)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, sim_x1e6
+           |FROM (SELECT qid, vec_id, sim_x1e6,
+           |        row_number() OVER (PARTITION BY qid
+           |          ORDER BY sim_x1e6 DESC, vec_id) AS rn
+           |      FROM cand)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // -- Heuristic language ID vs the labeled lang column (confusion
     // matrix). Marker lists are deliberately tiny; the operator shape
     // (argmax over per-language token matches) is what scales.
