@@ -8,7 +8,8 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status", "q44_knn_bruteforce")) {
+    for (name <- Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status",
+        "q44_knn_bruteforce", "q43_dedup_ngram_jaccard", "q53_knn_ivf")) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -30,20 +30,29 @@ object ConnectedComponents {
       .persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
+    // Convergence test: labels are non-increasing round over round
+    // (min of self + neighbors), so the label sum strictly decreases
+    // until the fixpoint — one cheap aggregate per round replaces a
+    // join + count against the previous labels. Decimal sum rules out
+    // long overflow producing a false fixpoint.
+    def labelSum(df: DataFrame): String =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0).toString
+    var lastSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var done = false
+    while (!done && iter < maxIter) {
       val nbr = sym.join(labels, sym("b") === labels("node"))
         .select(col("a").as("node"), col("comp"))
       // localCheckpoint truncates the lineage each round — without it
       // the logical plan doubles per iteration and planning time blows
       // up exponentially on long chains
       val upd = labels.unionByName(nbr)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp2"))
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      changed = labels.join(upd, "node")
-        .filter(col("comp") =!= col("comp2")).count()
-      labels = upd.withColumnRenamed("comp2", "comp")
+      val s = labelSum(upd)
+      done = s == lastSum
+      lastSum = s
+      labels = upd
       iter += 1
     }
     sym.unpersist()

@@ -387,12 +387,16 @@ object QueriesLlm {
         // engines; ties broken by centroid id)
         val aw = Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cid"))
+        // materialize the assignment once (localCheckpoint) — it feeds
+        // both sides of the search self-join, which would otherwise
+        // recompute the centroid cross + argmin window twice
         val assign = e.crossJoin(broadcast(cents))
           .withColumn("csim",
             VF.quantize1e6(VF.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
           .withColumn("arn", row_number().over(aw))
           .filter(col("arn") === 1)
           .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+          .localCheckpoint(true)
         val q = assign.filter(col("vec_id") % 17 === 0)
           .select(col("vec_id").as("qid"), col("v").as("qv"),
             col("nrm").as("qnrm"), col("cell"))
