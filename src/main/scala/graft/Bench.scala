@@ -11,7 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated substring filter for targeted perf work
+    // (driver runs with it unset = full catalog)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val selected =
+      if (filter.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => filter.exists(n.contains) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

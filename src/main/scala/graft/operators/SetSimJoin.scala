@@ -36,7 +36,12 @@ object SetSimJoin {
     * millions of distinct elements; beyond that, use the prefix-filter
     * regime instead). */
   def withBitmap(df: DataFrame, idCol: String, shCol: String): DataFrame = {
+    // materialize the exploded (id, element) frame once: it feeds the
+    // dictionary distinct, the driver-side universe-size scalar AND the
+    // word grouping — without the checkpoint the caller's (possibly
+    // expensive) shingle expression re-evaluates for each of the three
     val post = df.select(col(idCol), explode(col(shCol)).as("g"))
+      .localCheckpoint(true)
     val dict = post.select(col("g")).distinct()
       .withColumn("idx", row_number().over(Window.orderBy(col("g"))) - 1)
     // one driver-side scalar (universe size), same role as AQE stats

@@ -177,9 +177,13 @@ object QueriesLlm {
               col("a.doc_id") < col("b.doc_id") &&
               sizeRatioOk(col("a.s"), col("b.s")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
         // verify candidates with bitmap intersections (AND+popcount)
-        // instead of string-array hash intersection — see SetSimJoin
+        // instead of string-array hash intersection — see SetSimJoin.
+        // A pair colliding in several bands is verified several times
+        // and deduped AFTER the threshold filter: re-running the
+        // popcount on duplicates is far cheaper than a full shuffle
+        // dedup of the (band-count x) candidate stream, and only the
+        // few surviving near-dup rows reach the distinct.
         val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
           .select(col("doc_id"), col("sz"), col("bm"))
         cand
@@ -189,6 +193,7 @@ object QueriesLlm {
             col("bma"), col("bmb"), col("sza"), col("szb")))
           .filter(col("jacc_x1000") >= JaccThreshold)
           .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
