@@ -23,13 +23,23 @@ object VectorFunctions {
   /** Cast an array<float> embedding to array<double> for exact math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Sequential dot product of two equal-length double arrays — the
+    * native `array_dot` codegen expression
+    * ([[graft.functions.ArrayDotProduct]], registered by
+    * `GraftExtensions`); same IEEE-754 operation sequence as
+    * [[dotFold]]. */
   def dot(a: Column, b: Column): Column =
+    call_function("array_dot", a, b)
+
+  /** Built-ins-only dot product (`zip_with` + `aggregate` fold); works
+    * without `GraftExtensions`, used to cross-check [[dot]]. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Sequential-fold squared L2 norm. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** Sequential-fold squared L2 norm: exactly `dot(a, a)` — the
+    * accumulate order `acc + a(i)*a(i)` is the same operation
+    * sequence. */
+  def normSq(a: Column): Column = dot(a, a)
 
   /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — keep this
     * exact expression shape in any oracle SQL. */

@@ -105,5 +105,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
     ext.injectFunction(graft.functions.BitmapIntersectCount.functionDescription)
+    ext.injectFunction(graft.functions.ArrayDotProduct.functionDescription)
   }
 }

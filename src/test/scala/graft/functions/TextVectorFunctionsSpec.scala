@@ -79,6 +79,35 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(vals(1) == 0.0)
   }
 
+  test("native array_dot bit-matches the fold, incl. null/length/empty semantics") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // repartition defeats ConvertToLocalRelation: the comparison must
+      // run through generated code
+      val df = rows.toDF("id", "x", "y").repartition(3)
+        .select(
+          VectorFunctions.dot($"x", $"y").as("native"),
+          VectorFunctions.dotFold($"x", $"y").as("fold"))
+      // bit-identical, not approximately equal — the oracle hash
+      // depends on it
+      assert(df.filter($"native" =!= $"fold" ||
+        $"native".isNull =!= $"fold".isNull).count() == 0)
+      // fold semantics at the edges: length mismatch and null element
+      // poison the result; empty arrays give 0.0
+      val edges = spark.sql(
+        """SELECT array_dot(array(1.0D, 2.0D), array(3.0D)) AS mismatch,
+          |  array_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS withnull,
+          |  array_dot(CAST(array() AS ARRAY<DOUBLE>),
+          |            CAST(array() AS ARRAY<DOUBLE>)) AS empty""".stripMargin).head()
+      assert(edges.isNullAt(0) && edges.isNullAt(1))
+      assert(edges.getDouble(2) == 0.0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val v = Array.tabulate(64)(i => math.sin(i + 1))
     val df = Seq(v, v).toDF("v")
