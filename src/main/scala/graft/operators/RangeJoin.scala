@@ -71,6 +71,25 @@ object RangeJoin {
     points.join(right, joinCond, "left_outer").drop("__bin")
   }
 
+  /** Left-semi variant: rows of `points` covered by at least one
+    * interval, each emitted once (the existence form — "is this
+    * variant near any splice site / inside any gene" — with no
+    * duplicate-match inflation and no post-join grouping). */
+  def pointInIntervalSemi(points: DataFrame, intervals: DataFrame,
+                          pointKeys: Seq[String], intervalKeys: Seq[String],
+                          pos: String, start: String, stop: String,
+                          binSize: Long = 1000000L,
+                          broadcastIntervals: Boolean = false): DataFrame = {
+    val binned = explodeToBins(intervals, start, stop, binSize)
+    val right = if (broadcastIntervals) broadcast(binned) else binned
+    val joinCond = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => points(pk) === right(ik) }
+      .foldLeft(
+        (floor(points(pos) / binSize) === right("__bin")) &&
+          points(pos) >= right(start) && points(pos) <= right(stop))(_ && _)
+    points.join(right, joinCond, "left_semi")
+  }
+
   /** Interval-overlap inner join: pairs where
     * [lStart,lStop] and [rStart,rStop] overlap (inclusive). Both sides
     * are exploded onto bins; the duplicate matches that arise when an

@@ -255,6 +255,12 @@ object QueriesGenomic {
             (col("g_start") + col("k") * expr("(g_stop - g_start) div 4")).as("boundary"))
           .select(col("g_chr"), col("gene_id"),
             (col("boundary") - 10).as("b_lo"), (col("boundary") + 10).as("b_hi"))
+        // vid is NOT row-unique in the synthetic data: a vid is Y iff
+        // ANY of its rows is covered by ANY boundary, so the per-vid
+        // grouping is load-bearing. (A left-semi + count-distinct
+        // variant was measured no faster — the distinct over all vids
+        // costs what the groupBy did; RangeJoin.pointInIntervalSemi
+        // remains the right shape when no total/grouping is needed.)
         val joined = RangeJoin.pointInIntervalLeftOuter(
           v, bounds, Seq("chromosome"), Seq("g_chr"), "start_pos", "b_lo", "b_hi",
           binSize = 100000L, broadcastIntervals = true)

@@ -58,6 +58,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(gotUnmatched.length == unmatchedPids.size, "no duplicate null rows")
   }
 
+  test("left-semi variant emits each covered point exactly once") {
+    val (pts, ivs) = randomData(500, 80, 3000000L)
+    val p = pts.toDF("pid", "chr", "pos")
+    val iv = ivs.toDF("iid", "ichr", "istart", "istop")
+    val got = RangeJoin.pointInIntervalSemi(p, iv, Seq("chr"), Seq("ichr"),
+        "pos", "istart", "istop", binSize = 100000L)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    val expect = pts.collect {
+      case (pid, pchr, pos)
+          if ivs.exists { case (_, ichr, s, e) => pchr == ichr && pos >= s && pos <= e } =>
+        pid
+    }
+    assert(got.sorted == expect.sorted) // once each, no duplicate-match inflation
+    assert(expect.nonEmpty)
+  }
+
   test("interval-overlap join emits each overlapping pair exactly once") {
     val left = (0 until 120).map { i =>
       val s = rnd.nextLong().abs % 2000000L
