@@ -439,6 +439,106 @@ object QueriesLlm {
            |      FROM cand)
            |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // -- Gap-based sessionization (operators/Sessionize): the
+    // clickstream/training-data primitive — session-length histogram
+    // over per-user event streams, 1-hour gap. Two stacked windows,
+    // one shuffle.
+    Q("q54_sessionize",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.Sessionize.withSessions(
+            e, "user_id", "ts", 3600L * 1000000L, Seq("event_id"))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("n_events"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+          |      THEN 1 ELSE 0 END AS st
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s2 AS (
+          |  SELECT user_id, sum(st) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s),
+          |c AS (SELECT user_id, session_seq, count(*) AS n_events
+          |      FROM s2 GROUP BY 1, 2)
+          |SELECT CAST(n_events AS BIGINT) AS n_events, count(*) AS n_sessions
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- KMV (k-minimum-values) distinct sketch vs the exact count:
+    // a deterministic integer sketch (unlike HLL, reproducible in any
+    // engine), the mergeable cardinality primitive for dedup planning.
+    // estimate = (k-1) * HASH_SPACE / h_(k) with k = 16.
+    Q("q55_kmv_distinct",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+        val h = (col("user_id") * 1103515245L + 12345L) % 2147483647L
+        val dh = e.select(col("event_type"), h.as("h")).distinct()
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val kth = dh.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 16)
+          .select(col("event_type"), col("h").as("kth"))
+        e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+          .join(kth, "event_type")
+          .select(col("event_type"), col("exact_distinct"),
+            expr("(15 * CAST(2147483647 AS BIGINT)) DIV kth").as("kmv_estimate"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH dh AS (
+          |  SELECT DISTINCT event_type,
+          |    (user_id * 1103515245 + 12345) % 2147483647 AS h FROM events),
+          |k AS (
+          |  SELECT event_type, h AS kth FROM (
+          |    SELECT event_type, h,
+          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          |    FROM dh)
+          |  WHERE rn = 16),
+          |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          |      FROM events GROUP BY 1)
+          |SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+          |  CAST((15 * CAST(2147483647 AS BIGINT)) // kth AS BIGINT) AS kmv_estimate
+          |FROM x JOIN k USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
+    // -- Exact rank-selection quantiles (ceil-index p50/p95) per group
+    // — the quality-score thresholding primitive; deterministic where
+    // percentile interpolation is not.
+    Q("q56_quantiles",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        e.withColumn("rn", row_number().over(w).cast("long"))
+          .join(e.groupBy(col("event_type")).agg(count(lit(1)).as("n")), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            max(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col("cents"))).as("p50_cents"),
+            max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("cents"))).as("p95_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH e AS (SELECT event_type,
+          |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |r AS (SELECT event_type, cents,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+          |      FROM e),
+          |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+          |SELECT event_type,
+          |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+          |  CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS BIGINT) AS p95_cents
+          |FROM r JOIN n USING (event_type)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // -- Heuristic language ID vs the labeled lang column (confusion
     // matrix). Marker lists are deliberately tiny; the operator shape
     // (argmax over per-language token matches) is what scales.

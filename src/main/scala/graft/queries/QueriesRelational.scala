@@ -298,6 +298,38 @@ object QueriesRelational {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // As-of join (operators/AsofJoin): each purchase picks the most
+    // recent prior click of the same user — one keyed window shuffle,
+    // no range join. The right side is pre-aggregated to one row per
+    // (user, ts) so the match is engine-independently deterministic;
+    // the oracle uses DuckDB's native ASOF LEFT JOIN.
+    Q("q18_asof_join",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+        val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts")).agg(max(cents).as("click_cents"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        graft.operators.AsofJoin.backward(purchases, clicks,
+            Seq("user_id"), "ts", "ts", Seq("click_cents"))
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("click_cents")).as("n_matched"),
+            sum(coalesce(col("click_cents"), lit(0L))).as("sum_click_cents"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type,
+             |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+             |c AS (SELECT user_id, ts, CAST(max(cents) AS BIGINT) AS click_cents
+             |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+             |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+             |SELECT p.user_id % 10 AS bucket, count(*) AS n_purchases,
+             |  CAST(count(c.click_cents) AS BIGINT) AS n_matched,
+             |  CAST(sum(coalesce(c.click_cents, 0)) AS BIGINT) AS sum_click_cents
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X10/X12-analog: JSON prop extraction + grouped aggregation.
     Q("q13_json_props",
       (spark, dir) =>
