@@ -472,6 +472,39 @@ object QueriesLlm {
           |SELECT CAST(n_events AS BIGINT) AS n_events, count(*) AS n_sessions
           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- Native session_window sessionization: same histogram as q54
+    // but through Spark's built-in merging session windows (the
+    // operator Structured Streaming uses for streaming sessions).
+    // Boundary semantics differ from the q54 gap rule: session_window
+    // merges while the gap is STRICTLY below the duration, so the
+    // oracle breaks sessions at diff >= gap.
+    Q("q57_session_window",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .select(col("user_id"), col("ts"))
+        e.groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("n_events"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600000000
+          |      THEN 1 ELSE 0 END AS st
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s2 AS (
+          |  SELECT user_id, sum(st) OVER (PARTITION BY user_id
+          |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM s),
+          |c AS (SELECT user_id, session_seq, count(*) AS n_events
+          |      FROM s2 GROUP BY 1, 2)
+          |SELECT CAST(n_events AS BIGINT) AS n_events, count(*) AS n_sessions
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- KMV (k-minimum-values) distinct sketch vs the exact count:
     // a deterministic integer sketch (unlike HLL, reproducible in any
     // engine), the mergeable cardinality primitive for dedup planning.
