@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * early stop when no label changes. All work is shuffle joins and
   * aggregations on (node, label) pairs; nothing is collected.
   *
-  * Scale note: for graphs with large diameters, switch to the
-  * alternating large-star/small-star algorithm (O(log n) rounds); the
-  * per-round dataflow below is the same shape.
+  * Scale note: for graphs with large diameters, use
+  * [[componentsStar]] — the alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"), which converges in O(log n) rounds instead of
+  * O(diameter).
   */
 object ConnectedComponents {
 
@@ -57,5 +59,69 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * contraction — O(log n) rounds on any topology, so the scale path
+    * for long-chain / high-diameter graphs where min-label propagation
+    * needs O(diameter) rounds.
+    *
+    * Edges are kept as (child, parent) pointers with parent < child.
+    * Each round: **large-star** re-points every strictly-larger
+    * neighbor of a node to the minimum of its closed neighborhood;
+    * **small-star** re-points a node and its smaller neighbors to
+    * their minimum. The edge set converges to depth-1 stars (child →
+    * component minimum); convergence is detected when no parent still
+    * appears as a child. All work is groupBys and joins on the edge
+    * frame; nothing is collected.
+    *
+    * Same contract as [[components]]: (node, comp) for every node
+    * appearing in `edges`, comp = component minimum. */
+  def componentsStar(edges: DataFrame, src: String, dst: String,
+                     maxIter: Int = 30): DataFrame = {
+    val nodes = edges.select(col(src).as("n"))
+      .unionByName(edges.select(col(dst).as("n")))
+      .distinct().persist()
+    var e = edges
+      .select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("child"),
+        least(col("a"), col("b")).as("parent"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // large-star over the symmetric view
+      val sym = e.select(col("child").as("u"), col("parent").as("v"))
+        .unionByName(e.select(col("parent").as("u"), col("child").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("child"), col("m").as("parent"))
+        .filter(col("child") =!= col("parent"))
+        .distinct()
+      // small-star on the (child, parent) orientation
+      val smins = ls.groupBy(col("child")).agg(min(col("parent")).as("m"))
+      val ss = ls.join(smins, "child")
+        .select(explode(array(
+          struct(col("child").as("c"), col("m").as("p")),
+          struct(col("parent").as("c"), col("m").as("p")))).as("e"))
+        .select(col("e.c").as("child"), col("e.p").as("parent"))
+        .filter(col("child") =!= col("parent"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage each round
+      // stars everywhere <=> no parent is still somebody's child
+      done = ss.select(col("parent")).distinct()
+        .join(ss.select(col("child")), col("parent") === col("child"), "left_semi")
+        .isEmpty
+      e = ss
+      iter += 1
+    }
+    val out = nodes
+      .join(e, nodes("n") === e("child"), "left_outer")
+      .select(col("n").as("node"), coalesce(col("parent"), col("n")).as("comp"))
+    nodes.unpersist()
+    out
   }
 }

@@ -33,4 +33,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     // the chain collapsed to its minimum
     (100L to 115L).foreach(i => assert(got(i) == 100L))
   }
+
+  test("large-star/small-star matches union-find, incl. a 60-node chain in few rounds") {
+    val rnd = new Random(29)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter(e => e._1 != e._2) ++
+      // a 60-node chain: label propagation would need ~60 rounds;
+      // star contraction must finish within the default maxIter (30),
+      // where it errs to partial labels if convergence were slow
+      (1000L until 1060L).map(i => (i, i + 1))
+    val got = ConnectedComponents.componentsStar(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = bruteComponents(edges)
+    assert(got == expect)
+    (1000L to 1060L).foreach(i => assert(got(i) == 1000L))
+  }
+
+  test("both algorithms agree on random graphs") {
+    val rnd = new Random(37)
+    val edges = (0 until 200).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val df = edges.toDF("s", "d")
+    val a = ConnectedComponents.components(df, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ConnectedComponents.componentsStar(df, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
