@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape regression guards: the scale properties PLANS.md
+  * documents, locked into the suite so a refactor that silently
+  * de-optimizes a plan (lost pushdown, a BroadcastNestedLoopJoin where
+  * a hash join belongs, an extra shuffle) fails here rather than in a
+  * benchmark diff. String-level checks on the initial physical plan at
+  * sf0.001 — coarse on purpose; they assert strategy, not cosmetics.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    // 6 of 16 lineitem columns read
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), "projection should prune unused wide columns\n" + p)
+  }
+
+  test("q02: every dimension joins as broadcast — no shuffle join for the fact side") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not sort-merge\n" + p)
+  }
+
+  test("q25: interval join plans as a hash join on (chr, bin), not nested-loop") {
+    val p = plan("q25_genic_status")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), "interval side should explode onto bins\n" + p)
+  }
+
+  test("q43: pair join is a broadcast hash join evaluating the native popcount") {
+    val p = plan("q43_dedup_ngram_jaccard")
+    assert(p.contains("bitmap_inter_count"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q53: IVF search joins on cell only; top-k is rank-limited before the full sort") {
+    val p = plan("q53_knn_ivf")
+    assert(p.contains("WindowGroupLimit"), "rn <= k should push below the window sort\n" + p)
+    assert(p.contains("array_dot"), "cosine should use the native expression\n" + p)
+  }
+}
