@@ -24,6 +24,10 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object QueriesLlm {
 
+  /** Typed rows for the q59 Dataset pipeline. */
+  final case class TypedEv(user_id: Long, ts_micros: Long, event_id: Long, cents: Long)
+  final case class TypedUserStats(user_id: Long, n_events: Long, n_incr: Long)
+
   private val P = TF.HashMod            // 1e9+7
   private val MP = TF.MinhashPrime      // 2^31-1
   private val K = 16                    // minhash signature length
@@ -571,6 +575,101 @@ object QueriesLlm {
           |  CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS BIGINT) AS p95_cents
           |FROM r JOIN n USING (event_type)
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // -- Multimodal -> embedding -> similarity: a deterministic
+    // "feature extractor" over the raw media bytes (8-bin high-nibble
+    // byte histogram — the stand-in for a real image/audio encoder,
+    // exact in both engines because the test media is ASCII text) feeds
+    // the same cosine/top-k machinery as q44/q53. The operator shape —
+    // opaque bytes -> small feature vector -> vector search — is the
+    // multimodal training-data pipeline end to end.
+    Q("q58_multimodal_embed",
+      (spark, dir) => {
+        val hist = (0 until 8).map(b =>
+          s"size(filter(codes, c -> c div 16 = $b))").mkString(", ")
+        val e = table(spark, dir, "documents")
+          .selectExpr("doc_id",
+            "transform(split(text, ''), c -> ascii(c)) AS codes")
+          .selectExpr("doc_id", s"CAST(array($hist) AS array<double>) AS v")
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val q = e.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim_x1e6").desc, col("doc_id"))
+        broadcast(q).join(e, col("doc_id") =!= col("qid"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("doc_id"), col("sim_x1e6"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val histSql = (0 until 8).map(b =>
+          s"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS DOUBLE)").mkString(",\n    ")
+        val dot8 = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [$a[i] * $b[i] FOR i IN generate_series(1, 8)]), (x, y) -> x + y)""".stripMargin
+        val norm = (a: String) =>
+          s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [x * x FOR x IN $a]), (x, y) -> x + y))""".stripMargin
+        s"""WITH c AS (
+           |  SELECT doc_id, list_transform(string_split_regex(text, ''), c -> ascii(c)) AS codes
+           |  FROM documents),
+           |e AS (SELECT doc_id, [
+           |    $histSql] AS v FROM c),
+           |q AS (SELECT doc_id AS qid, v AS qv FROM e WHERE doc_id % 37 = 0),
+           |scored AS (
+           |  SELECT q.qid, e.doc_id,
+           |    CAST(floor((${dot8("qv", "e.v")})
+           |      / (${norm("qv")} * ${norm("e.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |  FROM q JOIN e ON e.doc_id <> q.qid)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, doc_id, sim_x1e6
+           |FROM (SELECT qid, doc_id, sim_x1e6,
+           |        row_number() OVER (PARTITION BY qid
+           |          ORDER BY sim_x1e6 DESC, doc_id) AS rn
+           |      FROM scored)
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // -- Typed Dataset pipeline: case-class encoders + groupByKey/
+    // mapGroups — the per-group imperative escape hatch (the CDS
+    // assembly shape, SURVEY A10) on a semantics that SQL windows can
+    // also express, so the typed path itself is oracle-checked. Counts
+    // per-user "increasing value" steps over the time-ordered event
+    // stream. Group payloads are bounded (one user's events); the
+    // shuffle is the same groupByKey-by-user as any keyed window.
+    Q("q59_typed_groups",
+      (spark, dir) => {
+        import spark.implicits._
+        val ds = table(spark, dir, "events")
+          .selectExpr("user_id", "unix_micros(ts) AS ts_micros", "event_id",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+          .as[TypedEv]
+        ds.groupByKey(_.user_id)
+          .mapGroups { (u, it) =>
+            val evs = it.toIndexedSeq.sortBy(e => (e.ts_micros, e.event_id))
+            val inc = evs.iterator.zip(evs.iterator.drop(1))
+              .count { case (a, b) => b.cents > a.cents }
+            TypedUserStats(u, evs.size.toLong, inc.toLong)
+          }
+          .toDF()
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(sum(col("n_events")).as("n_events"), sum(col("n_incr")).as("n_incr"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, ts, event_id,
+          |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |l AS (SELECT user_id,
+          |        CASE WHEN cents > lag(cents) OVER (PARTITION BY user_id
+          |          ORDER BY ts, event_id) THEN 1 ELSE 0 END AS inc
+          |      FROM e),
+          |u AS (SELECT user_id, count(*) AS n_events,
+          |        CAST(sum(inc) AS BIGINT) AS n_incr FROM l GROUP BY 1)
+          |SELECT user_id % 10 AS bucket, CAST(sum(n_events) AS BIGINT) AS n_events,
+          |  CAST(sum(n_incr) AS BIGINT) AS n_incr
+          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // -- Heuristic language ID vs the labeled lang column (confusion
     // matrix). Marker lists are deliberately tiny; the operator shape
