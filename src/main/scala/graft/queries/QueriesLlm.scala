@@ -164,39 +164,33 @@ object QueriesLlm {
       (spark, dir) => {
         val sh = table(spark, dir, "documents")
           .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
-          .withColumn("s", size(col("sh")))
-        val sig = sh
+        // one frame carries signature AND verification bitmap, so the
+        // band self-join verifies candidates inline — no second join to
+        // fetch bitmaps for the (band-count x) candidate stream
+        val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+        val sig = bmdf
           .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
           .withColumn("sig", TF.minhashSignature(col("hl"), K))
-        val bands = sig.select(col("doc_id"), col("s"),
+        val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>
             TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
-        // the size-ratio cut inside the join condition prunes candidate
-        // pairs that provably cannot reach the Jaccard threshold before
-        // they hit the distinct + intersection stages
-        val cand = bands.as("a")
-          .join(bands.as("b"),
+        // the size-ratio cut prunes pairs that provably cannot reach
+        // the threshold before any intersection is computed; the
+        // AND+popcount verify (native bitmap_inter_count) runs inside
+        // the join, and a pair colliding in several bands is verified
+        // per collision and deduped AFTER the filter — re-running the
+        // cheap popcount beats a full shuffle dedup of the candidate
+        // stream, and only surviving near-dup rows reach the distinct
+        bands.as("a")
+          .join(broadcast(bands.as("b")),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&
               col("a.doc_id") < col("b.doc_id") &&
-              sizeRatioOk(col("a.s"), col("b.s")))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        // verify candidates with bitmap intersections (AND+popcount)
-        // instead of string-array hash intersection — see SetSimJoin.
-        // A pair colliding in several bands is verified several times
-        // and deduped AFTER the threshold filter: re-running the
-        // popcount on duplicates is far cheaper than a full shuffle
-        // dedup of the (band-count x) candidate stream, and only the
-        // few surviving near-dup rows reach the distinct.
-        val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
-          .select(col("doc_id"), col("sz"), col("bm"))
-        cand
-          .join(bmdf.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("bm").as("bma")), "doc_a")
-          .join(bmdf.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("bm").as("bmb")), "doc_b")
+              sizeRatioOk(col("a.sz"), col("b.sz")))
           .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
-            col("bma"), col("bmb"), col("sza"), col("szb")))
+            col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
           .filter(col("jacc_x1000") >= JaccThreshold)
-          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
