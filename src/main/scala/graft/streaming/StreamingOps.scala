@@ -79,6 +79,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exactly-once-per-key ingestion: `dropDuplicates` over a
+    * watermarked event-time column keeps per-key state only within the
+    * lateness horizon, so duplicate deliveries (at-least-once sources,
+    * replays) are dropped across micro-batches while state stays
+    * bounded — the streaming form of the exact-dedup operator (q40)
+    * and the front half of the reference's verify-before-insert load.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+                  lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(keys :+ tsCol)
+
   /** Idempotent upsert of one micro-batch into an existing keyed store:
     * only rows whose key is absent are appended (the reference's
     * verify-before-insert, `VariantLoad3.saveVariants:479-589`, as a

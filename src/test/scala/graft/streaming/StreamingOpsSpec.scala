@@ -66,6 +66,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("dedupStream drops duplicate deliveries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = StreamingOps.dedupStream(
+      input.toDF().toDF("ts", "id"), "ts", Seq("id"), "10 minutes")
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    input.addData((t(1), 1L), (t(1), 1L), (t(2), 2L)) // in-batch dup
+    q.processAllAvailable()
+    input.addData((t(1), 1L), (t(3), 3L))             // cross-batch replay
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(1)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // each delivered exactly once
+  }
+
   test("upsertBatch is idempotent: replays insert nothing new") {
     val existing = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val batch = Seq((2L, "y2"), (3L, "z"), (3L, "z-dup")).toDF("id", "v")
