@@ -162,6 +162,30 @@ object QueriesRelational {
              |GROUP BY ROLLUP(event_type, bucket)
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    // Full CUBE (beyond the reference's two-granularity rollup): all
+    // four grouping sets in one pass — one shuffle, Expand feeding a
+    // single partial+final aggregate, vs four separate groupBys.
+    Q("q19_cube_events",
+      (spark, dir) => {
+        table(spark, dir, "events")
+          .select(col("event_type"), (col("user_id") % 10).as("bucket"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .cube(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+          .select(
+            coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("bucket"), lit(-1L)).as("bucket"),
+            col("cnt"), col("sum_cents"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |  coalesce(bucket, -1) AS bucket, count(*) AS cnt,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM (SELECT event_type, user_id % 10 AS bucket,
+             |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+             |GROUP BY CUBE(event_type, bucket)
+             |ORDER BY event_type, bucket""".stripMargin)),
+
     // A4/U2 distinct.
     Q("q08_distinct_event_types",
       (spark, dir) =>
