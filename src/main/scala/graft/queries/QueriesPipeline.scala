@@ -347,8 +347,11 @@ object QueriesPipeline {
         val existing = v.filter(col("vid") % 3 === 0)
           .groupBy(keys.map(col): _*).agg(min(col("vid")).as("ex_id"))
         val mx = existing.agg(max(col("ex_id")).as("max_ex"))
+        // materialized once: the new/old branch split below would
+        // otherwise recompute the groupBys and join for each branch
         val joined = inc.join(existing, keys, "left_outer")
           .crossJoin(broadcast(mx))
+          .localCheckpoint(true)
         val wNew = Window.orderBy(keys.map(col): _*)
         val newKeys = joined.filter(col("ex_id").isNull)
           .withColumn("assigned_id", col("max_ex") + row_number().over(wNew))

@@ -186,6 +186,32 @@ object QueriesRelational {
              |GROUP BY CUBE(event_type, bucket)
              |ORDER BY event_type, bucket""".stripMargin)),
 
+    // Pivot: one row per bucket, one column per event type (explicit
+    // value list keeps the schema static — required at scale anyway,
+    // since an unlisted pivot collects distinct values to the driver).
+    // Oracle: engine-neutral conditional aggregation.
+    Q("q37_pivot_events",
+      (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        table(spark, dir, "events")
+          .select((col("user_id") % 10).as("bucket"), col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy(col("bucket"))
+          .pivot("event_type", types)
+          .agg(sum(col("cents")))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN cents END) AS BIGINT) AS $t")
+          .mkString(",\n  ")
+        s"""SELECT user_id % 10 AS bucket,
+           |  $cols
+           |FROM (SELECT user_id, event_type,
+           |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // A4/U2 distinct.
     Q("q08_distinct_event_types",
       (spark, dir) =>
