@@ -784,7 +784,10 @@ object QueriesLlm {
     // canonical doc (min id) per cluster. Spark runs iterative
     // min-label propagation (operators/ConnectedComponents); the oracle
     // computes the transitive closure with a recursive CTE — same
-    // components either way.
+    // components either way. (componentsStar measured slower here:
+    // near-dup clusters are shallow, so O(diameter) rounds is 2-3 and
+    // the star variant's heavier per-round dataflow doesn't pay off —
+    // it's the high-diameter path, not the default.)
     Q("q52_dedup_clusters",
       (spark, dir) => {
         val pairs = jaccardPairs(spark, dir)
