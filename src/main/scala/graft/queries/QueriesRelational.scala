@@ -212,6 +212,60 @@ object QueriesRelational {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // Full-outer join: customers and suppliers per nation — rows
+    // survive from BOTH unmatched sides (the one join shape the
+    // reference never uses; completes the engine's join matrix).
+    Q("q38_full_outer",
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+          .groupBy((col("c_nationkey") % 30).as("nk")).agg(count(lit(1)).as("n_cust"))
+          .filter(col("nk") % 3 =!= 0)
+        val s = table(spark, dir, "supplier")
+          .groupBy((col("s_nationkey") % 30).as("nk")).agg(count(lit(1)).as("n_supp"))
+          .filter(col("nk") % 4 =!= 0)
+        c.join(s, Seq("nk"), "full_outer")
+          .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nk"))
+      },
+      Some("""WITH c AS (
+             |  SELECT nk, count(*) AS n_cust FROM
+             |    (SELECT c_nationkey % 30 AS nk FROM customer)
+             |  GROUP BY 1 HAVING nk % 3 <> 0),
+             |s AS (
+             |  SELECT nk, count(*) AS n_supp FROM
+             |    (SELECT s_nationkey % 30 AS nk FROM supplier)
+             |  GROUP BY 1 HAVING nk % 4 <> 0)
+             |SELECT coalesce(c.nk, s.nk) AS nk,
+             |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+             |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+             |FROM c FULL JOIN s ON c.nk = s.nk
+             |ORDER BY nk""".stripMargin)),
+
+    // INTERSECT / EXCEPT set semantics (multiset-aware forms exist as
+    // intersectAll/exceptAll; the distinct forms are shown here).
+    Q("q39_set_ops",
+      (spark, dir) => {
+        val hiVal = table(spark, dir, "orders")
+          .filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+        val urgent = table(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val both = hiVal.intersect(urgent)
+          .select(lit("BOTH").as("side"), col("o_custkey"))
+        val hiOnly = hiVal.except(urgent)
+          .select(lit("HI_ONLY").as("side"), col("o_custkey"))
+        both.unionByName(hiOnly)
+          .groupBy(col("side")).agg(count(lit(1)).as("cnt"), sum(col("o_custkey")).as("sum_ck"))
+          .orderBy(col("side"))
+      },
+      Some("""WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+             |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |b AS (SELECT 'BOTH' AS side, o_custkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM u)),
+             |h AS (SELECT 'HI_ONLY' AS side, o_custkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM u))
+             |SELECT side, count(*) AS cnt, CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+             |FROM (SELECT * FROM b UNION ALL SELECT * FROM h)
+             |GROUP BY side ORDER BY side""".stripMargin)),
+
     // A4/U2 distinct.
     Q("q08_distinct_event_types",
       (spark, dir) =>
