@@ -286,6 +286,31 @@ object QueriesGenomic {
           |GROUP BY near_splice_site
           |ORDER BY near_splice_site""".stripMargin))),
 
+    // Interval-overlap join (RangeJoin.intervalOverlap): overlapping
+    // gene pairs per chromosome. Both sides explode onto bins and the
+    // anchor-bin rule emits each overlapping pair exactly once — no
+    // post-join dedup, so the plan stays streaming-friendly at scale.
+    Q("q61_gene_overlap",
+      (spark, dir) => {
+        val g = Synthetic.genes(spark, dir)
+        val g2 = g.select(col("gene_id").as("gene_id2"), col("g_chr").as("g_chr2"),
+          col("g_start").as("g_start2"), col("g_stop").as("g_stop2"))
+        RangeJoin.intervalOverlap(g, g2, Seq("g_chr"), Seq("g_chr2"),
+            "g_start", "g_stop", "g_start2", "g_stop2", binSize = 100000L)
+          .filter(col("gene_id") < col("gene_id2"))
+          .groupBy(col("g_chr"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("gene_id") + col("gene_id2")).as("sum_ids"))
+          .orderBy(col("g_chr"))
+      },
+      Some(s"WITH genes AS (${Synthetic.genesSql})\n" +
+        """SELECT a.g_chr AS g_chr, count(*) AS n_pairs,
+          |  CAST(sum(a.gene_id + b.gene_id) AS BIGINT) AS sum_ids
+          |FROM genes a JOIN genes b
+          |  ON a.g_chr = b.g_chr AND a.gene_id < b.gene_id
+          |  AND a.g_start <= b.g_stop AND a.g_stop >= b.g_start
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X1: codon translation of synthetic DNA (map-literal lookup inside
     // whole-stage codegen; no UDF).
     Q("q28_translate_dna",

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class Cf2Spec extends SparkSpec {
+
+  test("malformed rows: bad numerics null out, row survives (PERMISSIVE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cf2-bad").toString
+    val lines = Seq(
+      "# header comment",
+      // good row: 16 columns
+      (Seq("1", "100", "A", "G", "rs1") ++ Seq("1", "2", "3", "4", "10") ++
+        Seq("", "", "5", "1", "10", "")).mkString("\t"),
+      // bad numeric position + short row (missing trailing columns)
+      (Seq("2", "NOT_A_NUMBER", "C", "T", "") ++ Seq("1", "2", "3", "4", "10")).mkString("\t"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.txt"),
+      lines.mkString("\n"))
+    val got = Cf2.read(spark, s"$dir/bad.txt").orderBy("chromosome").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "1" && got(0).getLong(1) == 100L)
+    // PERMISSIVE mode: unparseable/missing fields become null, the scan
+    // never throws mid-pipeline — QC filters decide what to drop
+    assert(got(1).getString(0) == "2" && got(1).isNullAt(1))
+    assert(got(1).isNullAt(15))
+  }
   import spark.implicits._
 
   private def fixture = Seq(
