@@ -266,6 +266,40 @@ object QueriesRelational {
              |FROM (SELECT * FROM b UNION ALL SELECT * FROM h)
              |GROUP BY side ORDER BY side""".stripMargin)),
 
+    // Window-function breadth: lag (inter-event gap), lead (next
+    // value), ntile (quartile assignment) over one shared
+    // partition+sort — Catalyst evaluates all three in a single Window
+    // operator, one shuffle.
+    Q("q70_window_suite",
+      (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        e.withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("nxt", lead(col("cents"), 1).over(w))
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .groupBy(col("event_type"), col("tile"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+            max(col("gap_us")).as("max_gap_us"),
+            sum(coalesce(col("nxt"), lit(0L))).as("sum_next"))
+          .orderBy(col("event_type"), col("tile"))
+      },
+      Some("""WITH e AS (SELECT event_type, ts, event_id,
+             |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT event_type, cents,
+             |        epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us,
+             |        lead(cents) OVER win AS nxt,
+             |        ntile(4) OVER win AS tile
+             |      FROM e
+             |      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id))
+             |SELECT event_type, CAST(tile AS BIGINT) AS tile, count(*) AS cnt,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+             |  CAST(sum(coalesce(nxt, 0)) AS BIGINT) AS sum_next
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // A4/U2 distinct.
     Q("q08_distinct_event_types",
       (spark, dir) =>
