@@ -300,6 +300,34 @@ object QueriesRelational {
              |  CAST(sum(coalesce(nxt, 0)) AS BIGINT) AS sum_next
              |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Argmax/argmin aggregates (min_by/max_by): cheapest and priciest
+    // order per market segment in ONE aggregation pass — no window, no
+    // self-join. The ordering key is made unique (cents*1e7 + orderkey)
+    // so ties cannot make the arg choice engine-dependent.
+    Q("q71_arg_aggregates",
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+          .withColumn("ord", col("cents") * 10000000L + col("o_orderkey"))
+        val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            max_by(col("o_orderkey"), col("ord")).as("top_order"),
+            min_by(col("o_orderkey"), col("ord")).as("bottom_order"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(max_by(o_orderkey, ord) AS BIGINT) AS top_order,
+             |  CAST(min_by(o_orderkey, ord) AS BIGINT) AS bottom_order
+             |FROM (SELECT o_custkey, o_orderkey,
+             |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+             |          + o_orderkey AS ord
+             |      FROM orders) o
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // A4/U2 distinct.
     Q("q08_distinct_event_types",
       (spark, dir) =>
