@@ -393,6 +393,43 @@ object QueriesPipeline {
       },
       Some(pairingOracle)),
 
+    // S5: FASTA reference-genome source through the oracle gate —
+    // deterministic synthetic FASTA text (5 chromosomes from region,
+    // 20 x 40bp lines each) is parsed (header spans -> per-line
+    // offsets), re-chunked to a fixed-width chunk table, and a random
+    // 333bp window is extracted per chromosome via chunk-pruned
+    // substring concat. The oracle rebuilds the same sequences with
+    // string aggregation and plain substr.
+    Q("q72_fasta_extract",
+      (spark, dir) => {
+        val bases = typedlit(Seq("A", "C", "G", "T"))
+        val chrs = table(spark, dir, "region").select((col("r_regionkey") + 1).as("c"))
+        val headers = chrs.select((col("c") * 10000).as("line_id"),
+          concat(lit(">chr"), col("c")).as("line"))
+        val seqLines = chrs.withColumn("i", explode(sequence(lit(1), lit(20))))
+          .select((col("c") * 10000 + col("i")).as("line_id"),
+            array_join(transform(sequence(lit(1), lit(40)),
+              j => element_at(bases,
+                ((col("c") * 7 + col("i") * 3 + j) % 4 + 1).cast("int"))), "").as("line"))
+        val chunks = graft.sources.Fasta.toChunks(
+          graft.sources.Fasta.parseLines(headers.unionByName(seqLines)), width = 128)
+          .localCheckpoint(true) // five extracts below share the parse
+        (1 to 5).map(c =>
+            graft.sources.Fasta.getSequence(chunks, s"chr$c", 123L, 456L, width = 128))
+          .reduce(_ unionByName _)
+          .orderBy(col("chr"))
+      },
+      Some(
+        """WITH c AS (SELECT r_regionkey + 1 AS c FROM region),
+          |ln AS (
+          |  SELECT c, i, string_agg(ch, '' ORDER BY j) AS line
+          |  FROM (SELECT c, i, j, ['A','C','G','T'][(c*7 + i*3 + j) % 4 + 1] AS ch
+          |        FROM c, generate_series(1, 20) s(i), generate_series(1, 40) t(j))
+          |  GROUP BY c, i),
+          |chrseq AS (SELECT c, string_agg(line, '' ORDER BY i) AS seq FROM ln GROUP BY c)
+          |SELECT 'chr' || CAST(c AS STRING) AS chr, substr(seq, 124, 333) AS seq
+          |FROM chrseq ORDER BY chr""".stripMargin)),
+
     // X9/F4/A5: FORMAT-field index resolution (AD with CLCAD2 fallback),
     // genotype filter, AD-array depth sum.
     Q("q65_vcf_format_parse",
