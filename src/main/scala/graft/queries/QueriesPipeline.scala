@@ -239,12 +239,12 @@ object QueriesPipeline {
     """WITH a AS (
       |  SELECT l_partkey % 300 AS k, CAST(l_quantity AS BIGINT) AS val_a,
       |    row_number() OVER (PARTITION BY l_partkey % 300
-      |      ORDER BY l_orderkey, l_linenumber) AS rn
+      |      ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS rn
       |  FROM lineitem),
       |b AS (
       |  SELECT l_suppkey % 300 AS k, CAST(l_linenumber AS BIGINT) AS val_b,
       |    row_number() OVER (PARTITION BY l_suppkey % 300
-      |      ORDER BY l_orderkey, l_linenumber) AS rn
+      |      ORDER BY l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT)) AS rn
       |  FROM lineitem)
       |SELECT a.k % 10 AS bucket, count(*) AS cnt,
       |  CAST(sum(a.val_a + b.val_b) AS BIGINT) AS sum_vals
@@ -375,7 +375,13 @@ object QueriesPipeline {
     Q("q64_pairing_join",
       (spark, dir) => {
         val li = table(spark, dir, "lineitem")
-        val wa = Window.partitionBy(col("k")).orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — the value column joins the sort key so tied rows
+        // pair identically in both engines
+        val wa = Window.partitionBy(col("k"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("val_a"))
+        val wb = Window.partitionBy(col("k"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("val_b"))
         val a = li.select((col("l_partkey") % 300).as("k"),
             col("l_quantity").cast("long").as("val_a"),
             col("l_orderkey"), col("l_linenumber"))
@@ -384,7 +390,7 @@ object QueriesPipeline {
         val b = li.select((col("l_suppkey") % 300).as("k"),
             col("l_linenumber").cast("long").as("val_b"),
             col("l_orderkey"), col("l_linenumber"))
-          .withColumn("rn", row_number().over(wa))
+          .withColumn("rn", row_number().over(wb))
           .select(col("k").as("bk"), col("val_b"), col("rn").as("brn"))
         a.join(b, col("k") === col("bk") && col("rn") === col("brn"))
           .groupBy((col("k") % 10).as("bucket"))
