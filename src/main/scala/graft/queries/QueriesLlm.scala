@@ -665,6 +665,61 @@ object QueriesLlm {
           |  CAST(sum(n_incr) AS BIGINT) AS n_incr
           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // -- Time-dimension breakdown (day-of-month x 6-hour band): the
+    // partition-key shape time-partitioned lakes use; extracts chosen
+    // for identical semantics in both engines.
+    Q("q73_time_breakdown",
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .select(dayofmonth(col("ts")).cast("long").as("dom"),
+            (hour(col("ts")).cast("long") / 6).cast("long").as("band"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy(col("dom"), col("band"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("dom"), col("band")),
+      Some(
+        """SELECT CAST(extract(day FROM ts) AS BIGINT) AS dom,
+          |  CAST(extract(hour FROM ts) // 6 AS BIGINT) AS band,
+          |  count(*) AS cnt,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- Word-bigram top-k per language: token-level n-grams (the
+    // phrase-frequency primitive next to the char-shingle machinery),
+    // two-stage top-k via window rank.
+    Q("q74_bigram_topk",
+      (spark, dir) => {
+        val toks = table(spark, dir, "documents")
+          .select(col("lang"), split(trim(lower(col("text"))), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("lang"), explode(transform(
+            sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit("_"),
+              element_at(col("t"), i + 1)))).as("bigram"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+        toks.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("lang"), col("rn").cast("long").as("rn"),
+            col("bigram"), col("cnt"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+          |  FROM documents),
+          |bg AS (
+          |  SELECT lang, unnest([t[i] || '_' || t[i+1]
+          |    FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+          |  FROM t WHERE len(t) >= 2),
+          |c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+          |SELECT lang, CAST(rn AS BIGINT) AS rn, bigram, cnt
+          |FROM (SELECT lang, bigram, cnt,
+          |        row_number() OVER (PARTITION BY lang
+          |          ORDER BY cnt DESC, bigram) AS rn
+          |      FROM c)
+          |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)),
+
     // -- Heuristic language ID vs the labeled lang column (confusion
     // matrix). Marker lists are deliberately tiny; the operator shape
     // (argmax over per-language token matches) is what scales.
