@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Per-query oracle sweep at an arbitrary scale factor.
+
+The driver's correctness gate runs at sf0.01; this sweep re-validates
+each query's hash-match at another SF (one DuckDB run per query, with a
+timeout so the handful of quadratic oracles — infeasible in DuckDB at
+sf0.1 — skip instead of stalling everything). This is how the q64
+window-pairing nondeterminism was caught: it passed at sf0.01 by luck
+and only diverged once duplicate sort keys landed in the same group.
+
+Usage:
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 tmp/verify_sf01"
+  python3 tools/sweep.py /root/testdata/sf0.1 tmp/verify_sf01 [timeout_s]
+"""
+import json
+import subprocess
+import sys
+
+QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
+    "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard", "q44_knn_bruteforce",
+    "q45_knn_lsh", "q46_dedup_embedding", "q52_dedup_clusters",
+    "q53_knn_ivf", "q58_multimodal_embed",
+}
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    per_query_timeout = sys.argv[3] if len(sys.argv) > 3 else "150"
+    names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")).keys())
+    ok, fail, timed_out = [], [], []
+    for n in names:
+        if n in QUADRATIC:
+            continue
+        r = subprocess.run(
+            ["timeout", per_query_timeout, "python3", "-u", "tools/check.py",
+             sf_dir, out_dir, n],
+            capture_output=True, text=True)
+        lines = r.stdout.strip().splitlines()
+        tail = lines[-1] if lines else ""
+        if r.returncode == 124:
+            timed_out.append(n)
+            print(f"{n}: TIMEOUT", flush=True)
+        elif "0 fail" in tail:
+            ok.append(n)
+            print(f"{n}: ok", flush=True)
+        else:
+            fail.append(n)
+            print(f"{n}: FAIL {tail}", flush=True)
+    print(f"== sweep {sf_dir}: {len(ok)} ok, {len(fail)} fail, "
+          f"{len(timed_out)} timeout, {len(QUADRATIC)} skipped ==")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
