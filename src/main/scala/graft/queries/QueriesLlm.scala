@@ -720,6 +720,38 @@ object QueriesLlm {
           |      FROM c)
           |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)),
 
+    // -- Custom mergeable top-k Aggregator in the gate: per event type,
+    // top-5 (cents, event_id) via operators/TopK — map-side-bounded
+    // buffers (k rows per group per mapper cross the shuffle), checked
+    // against the oracle's full window rank.
+    Q("q75_topk_agg",
+      (spark, dir) => {
+        import spark.implicits._
+        val ds = table(spark, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+            col("event_id"))
+          .as[(String, Long, Long)]
+        ds.groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(graft.operators.TopK.topK(5).toColumn.name("top"))
+          .toDF("event_type", "top")
+          .select(col("event_type"), posexplode(col("top")).as(Seq("rank0", "st")))
+          .select(col("event_type"), (col("rank0") + 1).cast("long").as("rn"),
+            col("st._1").as("cents"), col("st._2").as("event_id"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some(
+        """SELECT event_type, CAST(rn AS BIGINT) AS rn, cents, event_id
+          |FROM (SELECT event_type, cents, event_id,
+          |        row_number() OVER (PARTITION BY event_type
+          |          ORDER BY cents DESC, event_id) AS rn
+          |      FROM (SELECT event_type,
+          |              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+          |              event_id
+          |            FROM events))
+          |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin)),
+
     // -- Heuristic language ID vs the labeled lang column (confusion
     // matrix). Marker lists are deliberately tiny; the operator shape
     // (argmax over per-language token matches) is what scales.
