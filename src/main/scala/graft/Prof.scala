@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
+import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold, sizeRatioOk}
 
 /** Stage-level profiler for perf work on the heavy queries: times each
   * phase of the Jaccard/MinHash dedup family in isolation so
@@ -43,13 +44,13 @@ object Prof {
     // pair join WITHOUT popcount (enumeration + ratio filter only)
     val enum0 = bm.as("a").join(broadcast(bm.as("b")),
       col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.sz"), col("b.sz")) * 10 >= greatest(col("a.sz"), col("b.sz")) * 7)
+        sizeRatioOk(col("a.sz"), col("b.sz")))
     time("pair enum (no popcount)")(enum0.count())
 
     val pairs = enum0
       .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
         col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
-      .filter(col("jacc_x1000") >= 700)
+      .filter(col("jacc_x1000") >= JaccThreshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
     val nPairs = time("pair enum + popcount")(pairs.count())
     println(s"PROF   near-dup pairs: $nPairs")
@@ -63,22 +64,22 @@ object Prof {
       graft.operators.SetSimJoin.withBitmap(
           docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh")), "doc_id", "sh")
         .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
-        .withColumn("sig", TF.minhashSignature(col("hl"), 16))
+        .withColumn("sig", TF.minhashSignature(col("hl"), K))
         .localCheckpoint(true))
     val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
-      posexplode(array((0 until 4).map(b =>
-        TF.bandKey(col("sig"), b, 4)): _*)).as(Seq("band_idx", "band_key")))
+      posexplode(array((0 until Bands).map(b =>
+        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
     time("q41 bands count")(bands.count())
     val cand = bands.as("a").join(broadcast(bands.as("b")),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.sz"), col("b.sz")) * 10 >= greatest(col("a.sz"), col("b.sz")) * 7)
+        sizeRatioOk(col("a.sz"), col("b.sz")))
     time("q41 candidates")(println(s"PROF   q41 cand rows: ${cand.count()}"))
     val verified = cand
       .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
         col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
-      .filter(col("jacc_x1000") >= 700)
+      .filter(col("jacc_x1000") >= JaccThreshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
     time("q41 verify")(verified.count())
     time("q41 distinct")(verified.distinct().count())

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Exact set-similarity (Jaccard) machinery for n-gram/shingle sets.
   *
@@ -36,16 +35,21 @@ object SetSimJoin {
     * millions of distinct elements; beyond that, use the prefix-filter
     * regime instead). */
   def withBitmap(df: DataFrame, idCol: String, shCol: String): DataFrame = {
-    // materialize the exploded (id, element) frame once: it feeds the
-    // dictionary distinct, the driver-side universe-size scalar AND the
-    // word grouping — without the checkpoint the caller's (possibly
-    // expensive) shingle expression re-evaluates for each of the three
-    val post = df.select(col(idCol), explode(col(shCol)).as("g"))
-      .localCheckpoint(true)
-    val dict = post.select(col("g")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("g"))) - 1)
-    // one driver-side scalar (universe size), same role as AQE stats
-    val nWords = dict.agg(max(col("idx")).as("m")).head().getInt(0) / 64 + 1
+    // materialize the caller's frame once: the (possibly expensive)
+    // shingle expression would otherwise re-evaluate for the dictionary
+    // job, the word grouping AND the join-back — and again per side of
+    // any downstream self-join
+    val base = df.withColumn("sz", size(col(shCol))).localCheckpoint(true)
+    val post = base.select(col(idCol), explode(col(shCol)).as("g"))
+    // dictionary: one job, collected — the bitmap regime bounds the
+    // element universe (same smallness contract as a broadcast dim),
+    // and a driver-side dictionary costs one pass where the join form
+    // recomputed the distinct for every consumer
+    val universe = post.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0))
+    val nWords = (universe.length - 1) / 64 + 1
+    import df.sparkSession.implicits._
+    val dict = universe.zipWithIndex.toSeq.toDF("g", "idx")
     val words = post.join(broadcast(dict), "g")
       .groupBy(col(idCol), (col("idx") / 64).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("bits"))
@@ -54,7 +58,7 @@ object SetSimJoin {
       .select(col(idCol),
         transform(sequence(lit(0), lit(nWords - 1)),
           w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
-    df.join(bm, idCol).withColumn("sz", size(col(shCol)))
+    base.join(bm, idCol) // bm is tiny → broadcast; base is not reshuffled
   }
 
   /** |A∩B| from two equal-length bitmaps: popcount of the AND, as the

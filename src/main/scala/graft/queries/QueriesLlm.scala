@@ -30,18 +30,10 @@ object QueriesLlm {
 
   private val P = TF.HashMod            // 1e9+7
   private val MP = TF.MinhashPrime      // 2^31-1
-  private val K = 16                    // minhash signature length
-  private val Bands = 4                 // LSH bands (rows per band = 4)
-  private val Rpb = K / Bands
-  private val JaccThreshold = 700       // jaccard >= 0.700 == near-dup
+  // dedup-family tuning lives in DedupConfig (shared with graft.Prof)
+  import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold, sizeRatioOk}
   private val Dim = 64                  // embedding dimensionality
   private val Planes = 8                // LSH hyperplanes
-
-  /** J(A,B) <= min(|A|,|B|)/max(|A|,|B|): pairs failing
-    * 10*min >= 7*max cannot reach the 0.700 threshold, so this filter
-    * never changes results — it only skips the expensive intersection. */
-  private def sizeRatioOk(sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =
-    least(sa, sb) * 10 >= greatest(sa, sb) * 7
 
   /** Exact same-language Jaccard near-dup pairs via the SetSimJoin
     * bitmap pipeline — shared by q43 (pair listing) and q52
@@ -51,6 +43,8 @@ object QueriesLlm {
       .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     val bm = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
       .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
+      // materialized once — both sides of the pair self-join read it
+      .localCheckpoint(true)
     bm.as("a").join(broadcast(bm.as("b")),
         col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -168,9 +162,12 @@ object QueriesLlm {
         // band self-join verifies candidates inline — no second join to
         // fetch bitmaps for the (band-count x) candidate stream
         val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+        // materialized once: the band self-join below would otherwise
+        // recompute the signature pipeline for each side
         val sig = bmdf
           .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
           .withColumn("sig", TF.minhashSignature(col("hl"), K))
+          .localCheckpoint(true)
         val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>
             TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
@@ -900,6 +897,75 @@ object QueriesLlm {
            |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, count(*) AS n_clusters,
            |  CAST(sum(comp) AS BIGINT) AS sum_canonical
            |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- Deterministic stratified train/val/test split: the dataset-
+    // assembly primitive — a pure hash of the stable doc id (the q55
+    // LCG) buckets every row 80/10/10 with no RNG state, so the split
+    // is reproducible on any engine and any partitioning, and re-runs
+    // place new docs without moving old ones. At 100 TB this is a
+    // map-only pass (no shuffle before the per-(lang,split) rollup).
+    Q("q76_stratified_split",
+      (spark, dir) => {
+        val b = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100
+        table(spark, dir, "documents")
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(
+        """SELECT lang, split, count(*) AS n_docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM (SELECT lang, text,
+          |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |             ELSE 'test' END AS split
+          |      FROM (SELECT lang, text,
+          |              ((doc_id * 1103515245 + 12345) % 2147483647) % 100 AS b
+          |            FROM documents))
+          |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // -- Overlapping token-window chunking (size 32, stride 24): the
+    // pretraining/RAG chunker — each doc explodes into fixed-size
+    // windows with 8-token overlap, each chunk carrying a deterministic
+    // fingerprint (for chunk-level dedup downstream). Map-side explode,
+    // no shuffle until a consumer aggregates; chunk counts scale
+    // linearly with corpus tokens.
+    Q("q77_doc_chunking",
+      (spark, dir) => {
+        val C = 32 // tokens per chunk
+        val S = 24 // stride (C - S = 8-token overlap)
+        val toks = table(spark, dir, "documents")
+          .filter(col("doc_id") % 25 === 0 && length(trim(col("text"))) > 0)
+          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
+        toks
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("t")), lit(S)),
+              st => slice(col("t"), st, lit(C)))).as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_toks"),
+            aggregate(transform(col("chunk"), t => TF.polyHash(t)),
+              lit(0L), (acc, h) => (acc * 31 + h) % P).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           |  FROM documents WHERE doc_id % 25 = 0 AND length(trim(text)) > 0),
+           |ch AS (
+           |  SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+           |    t[st:st + 31] AS chunk
+           |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t), 24)) AS st))
+           |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_toks,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(chunk, tok ->
+           |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split_regex(tok, ''),
+           |            c -> CAST(ascii(c) AS BIGINT))),
+           |        (acc, x) -> (acc * 31 + x) % $P))),
+           |    (acc, h) -> (acc * 31 + h) % $P) AS chunk_fp
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // -- Rolling-hash document fingerprint (the exact-dedup / shard-key
     // primitive; engine-independent integer polynomial).
