@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * into duplicate *clusters* with one canonical representative each.
   *
   * Each round every node adopts the minimum component label among
-  * itself and its neighbors; convergence takes at most the graph
-  * diameter rounds (near-dup clusters are shallow — a handful), with an
+  * itself, its neighbors AND its current label's label (pointer
+  * jumping), so convergence takes O(log diameter) rounds, with an
   * early stop when no label changes. All work is shuffle joins and
   * aggregations on (node, label) pairs; nothing is collected.
   *
@@ -21,15 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Below this many (distinct, symmetric) edges the whole graph is
+    * solved in one pass by a per-partition union-find over a
+    * 1-partition frame — the iterative rounds each cost a fixed number
+    * of Spark jobs, which dominates wall-clock when the near-dup graph
+    * is small. The decision uses the runtime edge count (the same
+    * stats-based adaptivity AQE applies to joins); at scale the count
+    * exceeds the threshold and the distributed rounds run. */
+  val LocalSolveMaxEdges = 2000000L
+
   /** @param edges undirected edge list
     * @return (node, comp) — comp is the minimum node id in the
     *         component; only nodes appearing in `edges` are labeled */
   def components(edges: DataFrame, src: String, dst: String,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20,
+                 localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .persist()
+    if (sym.count() <= localSolveMaxEdges) {
+      val out = componentsLocal(sym)
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
     // Convergence test: labels are non-increasing round over round
@@ -45,10 +60,16 @@ object ConnectedComponents {
     while (!done && iter < maxIter) {
       val nbr = sym.join(labels, sym("b") === labels("node"))
         .select(col("a").as("node"), col("comp"))
+      // pointer jumping: each node also adopts its label's label, so a
+      // depth-d chain of labels halves every round — convergence in
+      // O(log diameter) rounds, not O(diameter) (without it, a chain
+      // longer than maxIter silently returned unconverged labels)
+      val hop = labels.as("l").join(labels.as("r"), col("l.comp") === col("r.node"))
+        .select(col("l.node").as("node"), col("r.comp").as("comp"))
       // localCheckpoint truncates the lineage each round — without it
       // the logical plan doubles per iteration and planning time blows
       // up exponentially on long chains
-      val upd = labels.unionByName(nbr)
+      val upd = labels.unionByName(nbr).unionByName(hop)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
       val s = labelSum(upd)
@@ -59,6 +80,36 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** One-pass union-find over a single partition: the small-graph path
+    * of [[components]]. Stays inside the Dataset API (repartition(1) +
+    * mapPartitions — no driver collect); the caller guarantees the edge
+    * set fits one task comfortably. */
+  private def componentsLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          if (!parent.contains(r)) parent(r) = r
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // union by min label, matching the iterative path
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+      }
+      .toDF("node", "comp")
   }
 
   /** Connected components by alternating large-star/small-star edge

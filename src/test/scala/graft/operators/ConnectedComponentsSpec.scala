@@ -24,14 +24,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     val rnd = new Random(13)
     val edges = (0 until 150).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter(e => e._1 != e._2) ++
-      // a long chain exercises multi-round propagation
-      (100L until 115L).map(i => (i, i + 1))
-    val got = ConnectedComponents.components(edges.toDF("s", "d"), "s", "d")
+      // a 100-node chain: pointer jumping must converge it within the
+      // default maxIter (20) — plain neighbor propagation would need
+      // ~100 rounds and silently return partial labels
+      (100L until 200L).map(i => (i, i + 1))
+    // localSolveMaxEdges = 0 forces the distributed iterative path
+    val got = ConnectedComponents.components(edges.toDF("s", "d"), "s", "d",
+        localSolveMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expect = bruteComponents(edges)
     assert(got == expect)
     // the chain collapsed to its minimum
-    (100L to 115L).foreach(i => assert(got(i) == 100L))
+    (100L to 200L).foreach(i => assert(got(i) == 100L))
+  }
+
+  test("small-graph local solve matches the iterative path") {
+    val rnd = new Random(41)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong)) ++
+      (500L until 540L).map(i => (i, i + 1))
+    val df = edges.toDF("s", "d")
+    // default threshold routes this graph to the one-pass union-find
+    val local = ConnectedComponents.components(df, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = ConnectedComponents.components(df, "s", "d", localSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == iter)
+    assert(local == bruteComponents(edges))
   }
 
   test("large-star/small-star matches union-find, incl. a 60-node chain in few rounds") {
