@@ -64,7 +64,7 @@ object Prof {
       graft.operators.SetSimJoin.withBitmap(
           docs.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh")), "doc_id", "sh")
         .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
-        .withColumn("sig", TF.minhashSignature(col("hl"), K))
+        .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
         .localCheckpoint(true))
     val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
       posexplode(array((0 until Bands).map(b =>

@@ -125,6 +125,14 @@ object TextFunctions {
         h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashPrime))
     }: _*)
 
+  /** [[minhashSignature]] as the native fused-loop codegen expression
+    * `minhash_sig` ([[MinhashSignature]], registered by
+    * `GraftExtensions`) — one pass over the hash array instead of k
+    * interpreted higher-order-function passes; bit-identical output
+    * (spec-checked against the SQL form). */
+  def minhashSignatureNative(shingleHashes: Column, k: Int): Column =
+    call_function("minhash_sig", shingleHashes, lit(k))
+
   /** LSH band key: polynomial combine of `rowsPerBand` consecutive
     * signature entries of band `bandIdx` (0-based). Max value
     * ~ 2^31 * 31^3 < 2^63, no mod needed. */

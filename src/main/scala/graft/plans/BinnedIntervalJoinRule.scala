@@ -106,5 +106,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
     ext.injectFunction(graft.functions.BitmapIntersectCount.functionDescription)
     ext.injectFunction(graft.functions.ArrayDotProduct.functionDescription)
+    ext.injectFunction(graft.functions.MinhashSignature.functionDescription)
   }
 }

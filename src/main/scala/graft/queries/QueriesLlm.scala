@@ -166,7 +166,7 @@ object QueriesLlm {
         // recompute the signature pipeline for each side
         val sig = bmdf
           .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
-          .withColumn("sig", TF.minhashSignature(col("hl"), K))
+          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
           .localCheckpoint(true)
         val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>

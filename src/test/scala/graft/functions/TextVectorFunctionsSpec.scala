@@ -108,6 +108,33 @@ class TextVectorFunctionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("native minhash_sig bit-matches the k-fold SQL form, incl. null/empty") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong().abs % 1000000007L))
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = rows.toDF("id", "hl").repartition(3)
+        .select(
+          TextFunctions.minhashSignatureNative($"hl", 16).as("native"),
+          TextFunctions.minhashSignature($"hl", 16).as("fold"))
+      assert(df.filter(not($"native" <=> $"fold")).count() == 0)
+      // edge semantics mirror k x array_min: null elements skipped,
+      // empty / all-null input -> array of k nulls
+      val edges = spark.sql(
+        """SELECT minhash_sig(array(CAST(5 AS BIGINT), CAST(NULL AS BIGINT)), 4) AS skipnull,
+          |  minhash_sig(CAST(array() AS ARRAY<BIGINT>), 4) AS empty,
+          |  minhash_sig(array(CAST(NULL AS BIGINT)), 4) AS allnull""".stripMargin).head()
+      val skipnull = edges.getSeq[Any](0)
+      val viaFold = Seq.tabulate(4)(i =>
+        (TextFunctions.minhashA(i) * 5L + TextFunctions.minhashB(i)) % TextFunctions.MinhashPrime)
+      assert(skipnull == viaFold)
+      assert(edges.getSeq[Any](1) == Seq(null, null, null, null))
+      assert(edges.getSeq[Any](2) == Seq(null, null, null, null))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val v = Array.tabulate(64)(i => math.sin(i + 1))
     val df = Seq(v, v).toDF("v")
