@@ -15,26 +15,39 @@ object Bench {
     // (driver runs with it unset = full catalog)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").toSeq).getOrElse(Nil)
-    val selected =
-      if (filter.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => filter.exists(n.contains) }
+    // iterate the catalog's declared order (stable across rounds), not
+    // the SparkEntry.queries Map (hash-arbitrary, shifts when queries
+    // are added) — per-query numbers stay comparable round over round
+    val selected = graft.queries.Catalog.all
+      .filter(q => filter.isEmpty || filter.exists(q.name.contains))
     // best-of-N (default 2): the steady-state per-query cost is the
     // min over back-to-back runs — one transient hiccup (GC pause,
     // co-tenant contention, cold page cache) on a shared box otherwise
     // lands in a single query's number and the total
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2).max(1)
-    val results = selected.map { case (name, fn) =>
+    /** Free cached tables AND localCheckpoint/persist blocks so one
+      * query's pinned blocks never inflate the next query's time. */
+    def clearBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    val results = selected.map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearBlocks()
+        dt
       }
-      name -> times.min
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val allRuns = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$allRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,7 +42,17 @@ object IdAssign {
       .withColumn("__pid", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid"))
       .orderBy(keys.map(col): _*)
+    // materialized once: offsets and the final join below both read
+    // this frame, and RangePartitioner samples boundaries with a
+    // per-RDD seed — two separate evaluations of the range shuffle can
+    // land rows in different partitions, which would pair ranks from
+    // one partitioning with offsets from another. A single
+    // materialization makes the (pid, rn, offsets) triple consistent;
+    // the *ids* are deterministic across runs regardless of boundary
+    // placement because disjoint ordered ranges + in-partition sort is
+    // the same total order however it is cut.
     val numbered = ranged.withColumn("__rn", row_number().over(wIn))
+      .localCheckpoint(true)
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))

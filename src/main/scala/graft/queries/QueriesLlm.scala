@@ -177,9 +177,14 @@ object QueriesLlm {
         // the join, and a pair colliding in several bands is verified
         // per collision and deduped AFTER the filter — re-running the
         // cheap popcount beats a full shuffle dedup of the candidate
-        // stream, and only surviving near-dup rows reach the distinct
+        // stream, and only surviving near-dup rows reach the distinct.
+        // No broadcast hint: the bands frame IS the corpus (x Bands), so
+        // the (band_idx, band_key) equi-join must shuffle — band keys
+        // are uniform minhash outputs, so the buckets stay balanced at
+        // any scale, and AQE picks a broadcast side automatically only
+        // when the input really is small.
         bands.as("a")
-          .join(broadcast(bands.as("b")),
+          .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&
               col("a.doc_id") < col("b.doc_id") &&

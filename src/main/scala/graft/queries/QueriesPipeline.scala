@@ -330,13 +330,12 @@ object QueriesPipeline {
       Some(wigOracle)),
 
     // J5/K4: natural-key dedup-upsert. Existing rows keep their id; new
-    // keys get max(existing) + row_number over the natural-key order —
-    // the deterministic replacement for the reference's Oracle sequence
-    // (`VariantLoad3.saveVariants:479-589`). The global row_number over
-    // *new keys only* is the one serial point; at 100 TB swap it for a
-    // per-partition offset assignment (count-by-partition + cumulative
-    // offsets), which keeps ids deterministic without a single-partition
-    // window.
+    // keys get max(existing) + dense rank under the natural-key total
+    // order — the deterministic replacement for the reference's Oracle
+    // sequence (`VariantLoad3.saveVariants:479-589`). The rank comes
+    // from IdAssign.assignDense (range-partition + parallel in-partition
+    // numbering + tiny offset join) so no row ever funnels through a
+    // single global-window partition.
     Q("q63_dedup_upsert",
       (spark, dir) => {
         val v = Synthetic.variants(spark, dir)
@@ -352,9 +351,10 @@ object QueriesPipeline {
         val joined = inc.join(existing, keys, "left_outer")
           .crossJoin(broadcast(mx))
           .localCheckpoint(true)
-        val wNew = Window.orderBy(keys.map(col): _*)
-        val newKeys = joined.filter(col("ex_id").isNull)
-          .withColumn("assigned_id", col("max_ex") + row_number().over(wNew))
+        val newKeys = graft.operators.IdAssign
+          .assignDense(joined.filter(col("ex_id").isNull), keys, "__seq")
+          .withColumn("assigned_id", col("max_ex") + col("__seq"))
+          .drop("__seq")
           .withColumn("is_new", lit(true))
         val oldKeys = joined.filter(col("ex_id").isNotNull)
           .withColumn("assigned_id", col("ex_id"))
