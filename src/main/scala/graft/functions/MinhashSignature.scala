@@ -31,7 +31,14 @@ case class MinhashSignature(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // k is session-wide SQL surface (`minhash_sig(hl, k)`): reject
+        // null/zero/negative here rather than throwing
+        // NegativeArraySizeException at eval / emitting `new long[-1]`
+        right.eval() match {
+          case kv: Int if kv > 0 => TypeCheckResult.TypeCheckSuccess
+          case kv => TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig requires a positive signature length k, got $kv")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "minhash_sig requires (array<bigint>, foldable int), got " +
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
@@ -78,6 +85,13 @@ case class MinhashSignature(left: Expression, right: Expression)
       val seen = ctx.freshName("seen")
       val out = ctx.freshName("out")
       val mp = TextFunctions.MinhashPrime
+      // seed constants come from TextFunctions.minhashA/minhashB — the
+      // single source of truth shared with nullSafeEval and the DuckDB
+      // oracle SQL; a seed retune can't silently diverge the two paths
+      val aSeeds = ctx.addReferenceObj("minhashA",
+        Array.tabulate(k)(TextFunctions.minhashA), "long[]")
+      val bSeeds = ctx.addReferenceObj("minhashB",
+        Array.tabulate(k)(TextFunctions.minhashB), "long[]")
       s"""
          |final int $n = $a.numElements();
          |final long[] $mins = new long[$k];
@@ -88,7 +102,7 @@ case class MinhashSignature(left: Expression, right: Expression)
          |    $seen = true;
          |    final long $hv = $a.getLong($j);
          |    for (int $i = 0; $i < $k; $i++) {
-         |      final long $v = ((2L * $i + 1L) * $hv + (7919L * $i + 123L)) % ${mp}L;
+         |      final long $v = ($aSeeds[$i] * $hv + $bSeeds[$i]) % ${mp}L;
          |      if ($v < $mins[$i]) $mins[$i] = $v;
          |    }
          |  }

@@ -36,8 +36,11 @@ object ConnectedComponents {
   def components(edges: DataFrame, src: String, dst: String,
                  maxIter: Int = 20,
                  localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+    // ids are cast to long once up front so both the local and the
+    // distributed path return the same (bigint node, bigint comp)
+    // schema regardless of which one the runtime edge count selects
+    val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .unionByName(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
       .distinct()
       .persist()
     if (sym.count() <= localSolveMaxEdges) {
@@ -89,7 +92,7 @@ object ConnectedComponents {
   private def componentsLocal(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
-    sym.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+    sym.select(col("a"), col("b")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -130,11 +133,13 @@ object ConnectedComponents {
     * appearing in `edges`, comp = component minimum. */
   def componentsStar(edges: DataFrame, src: String, dst: String,
                      maxIter: Int = 30): DataFrame = {
-    val nodes = edges.select(col(src).as("n"))
-      .unionByName(edges.select(col(dst).as("n")))
+    // same up-front long cast as [[components]]: one output schema
+    // independent of the input id type
+    val nodes = edges.select(col(src).cast("long").as("n"))
+      .unionByName(edges.select(col(dst).cast("long").as("n")))
       .distinct().persist()
     var e = edges
-      .select(col(src).as("a"), col(dst).as("b"))
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("child"),
         least(col("a"), col("b")).as("parent"))

@@ -42,14 +42,28 @@ object SetSimJoin {
     val base = df.withColumn("sz", size(col(shCol))).localCheckpoint(true)
     val post = base.select(col(idCol), explode(col(shCol)).as("g"))
     // dictionary: one job, collected — the bitmap regime bounds the
-    // element universe (same smallness contract as a broadcast dim),
-    // and a driver-side dictionary costs one pass where the join form
-    // recomputed the distinct for every consumer
+    // element universe (same smallness contract as a broadcast dim,
+    // which also bounds the driver memory this collect holds: a few
+    // million distinct elements is a few hundred MB of Rows, the upper
+    // end of what a driver should ever hold), and a driver-side
+    // dictionary costs one pass where the join form recomputed the
+    // distinct for every consumer. Elements are read generically so
+    // non-string shingle columns (e.g. hashed long shingles) work too.
     val universe = post.select(col("g")).distinct().orderBy(col("g"))
-      .collect().map(_.getString(0))
+      .collect().map(_.get(0))
     val nWords = (universe.length - 1) / 64 + 1
-    import df.sparkSession.implicits._
-    val dict = universe.zipWithIndex.toSeq.toDF("g", "idx")
+    // dict keeps the element column's own type (createDataFrame with
+    // the scanned schema) so the join-back never casts
+    val spark = df.sparkSession
+    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+      post.schema("g"),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val dictRows = universe.zipWithIndex.map { case (g, i) =>
+      org.apache.spark.sql.Row(g, i)
+    }
+    val dict = spark.createDataFrame(
+      java.util.Arrays.asList(dictRows: _*), dictSchema)
     val words = post.join(broadcast(dict), "g")
       .groupBy(col(idCol), (col("idx") / 64).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("bits"))
