@@ -124,15 +124,22 @@ object QueriesLlm {
 
     // -- Exact dedup: hash-groupBy on full text. The union constructs
     // known duplicates (every 7th doc re-appears under a new id), so the
-    // dedup has real work to do. 100 TB: group on fingerprint(text)
-    // first, full-text equality only within fingerprint buckets.
+    // dedup has real work to do. Scale form: an 8-byte fingerprint of
+    // the text is the shuffle key (repartition on (lang, fp); the
+    // grouping's ClusteredDistribution on (lang, fp, text) is satisfied
+    // by the subset partitioning, so no second exchange) — full-text
+    // equality is then checked only WITHIN a fingerprint bucket, and
+    // identical texts always share a fingerprint, so the (lang, fp,
+    // text) groups are exactly the (lang, text) groups.
     Q("q40_dedup_exact",
       (spark, dir) => {
         val d = table(spark, dir, "documents").select("doc_id", "lang", "text")
         val dup = d.filter(col("doc_id") % 7 === 0)
           .withColumn("doc_id", col("doc_id") + 100000L)
         d.unionByName(dup)
-          .groupBy(col("lang"), col("text"))
+          .withColumn("fp", xxhash64(col("text")))
+          .repartition(col("lang"), col("fp"))
+          .groupBy(col("lang"), col("fp"), col("text"))
           .agg(count(lit(1)).as("copies"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("distinct_docs"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.sources.{Cf2, Vcf}
+import graft.sources.{Cf2, Polyphen, Vcf}
 
 /** File-format source queries — the reference pipeline's *front door*
   * (S1-S3/K1): real text files written to disk, read back through the
@@ -116,6 +116,108 @@ object QueriesSources {
        |GROUP BY chromosome ORDER BY chromosome""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  // S15+F12+J11: PolyPhen results loader (`PolyphenLoader.java:97-180`):
+  // 55-col positional TSV, every value trimmed, swapped-AA rows
+  // rejected, survivors paired with the run's .info file on the 4-part
+  // key with duplicates consumed positionally in file order (the o_pos
+  // fix, `changes.txt:41-43`). The fixture bakes monotone rsid /
+  // variant_id so "file order" is a sortable column on both sides; the
+  // row_number pairing then reproduces the reference's
+  // first-match-consumed list walk exactly (including rn re-ranking
+  // after rejected results and absent info lines shift the pairing).
+
+  private val PolyphenPath = s"$FixtureDir/sample.polyphen"
+  private val PolyphenInfoPath = s"$FixtureDir/sample.info"
+  private val PolyphenRows = 500
+  private val AAs = "ARNDCQEGHILKMFPSTWYV"
+
+  /** Deterministic PolyPhen fixture: 500 result lines (every 11th has
+    * its o_aa pair swapped → rejected; keys repeat with period 200 →
+    * genuine positional-pairing work) + an .info file missing every
+    * 13th line (→ unmatched results dropped, and the positional rank
+    * of later duplicates shifts, which the oracle must reproduce). */
+  private def writePolyphenFixture(): Unit = {
+    val rf = new java.io.File(PolyphenPath)
+    rf.getParentFile.mkdirs()
+    val rw = new java.io.PrintWriter(rf)
+    val iw = new java.io.PrintWriter(new java.io.File(PolyphenInfoPath))
+    try {
+      rw.println("#" + graft.sources.Polyphen.schema.fieldNames.mkString("\t"))
+      iw.println("#" + graft.sources.Polyphen.infoSchema.fieldNames.mkString("\t"))
+      var i = 0
+      while (i < PolyphenRows) {
+        val prot = "NP_" + (1000 + i % 40)
+        val pos = (100 + (i % 25) * 3).toString
+        val refAA = AAs.charAt(i % 20).toString
+        val varAA = AAs.charAt((i + 7) % 20).toString
+        val swapped = i % 11 == 0
+        val (o1, o2) = if (swapped) (varAA, refAA) else (refAA, varAA)
+        val pred = Seq("benign", "possibly damaging", "probably damaging")(i % 3)
+        val prob = (i % 64).toDouble / 64.0 // binary-exact → exact sums
+        val byName = Map(
+          "o_acc" -> ("  " + prot), // space-padded: the reader must trim
+          "o_pos" -> pos,
+          "o_aa1" -> o1, "o_aa2" -> o2,
+          "rsid" -> ("rs" + (500000 + i)), // monotone == file order
+          "acc" -> prot, "pos" -> pos,
+          "aa1" -> refAA, "aa2" -> varAA,
+          "nt1" -> "A", "nt2" -> "G",
+          "prediction" -> (pred + " "), // trailing pad: trim again
+          "based_on" -> "alignment", "effect" -> ".",
+          "pph2_class" -> (if (prob > 0.5) "deleterious" else "neutral"),
+          "pph2_prob" -> prob.toString)
+        rw.println(Polyphen.schema.fieldNames
+          .map(n => byName.getOrElse(n, ".")).mkString("\t"))
+        if (i % 13 != 0) {
+          iw.println(Seq((9000000 + i).toString, "Gene" + (i % 30), prot,
+            pos, refAA, varAA, if (i % 2 == 0) "+" else "-",
+            (70000 + i % 50).toString).mkString("\t"))
+        }
+        i += 1
+      }
+    } finally { rw.close(); iw.close() }
+  }
+
+  private val polyphenOracle: String = {
+    val rcols = Polyphen.schema.fieldNames
+      .map(n => s"'$n':'VARCHAR'").mkString("{", ",", "}")
+    val icols = Polyphen.infoSchema.fieldNames
+      .map(n => s"'$n':'VARCHAR'").mkString("{", ",", "}")
+    s"""WITH rraw AS (
+       |  SELECT * FROM read_csv('$PolyphenPath', delim='$Tab', header=false,
+       |    auto_detect=false, null_padding=true, columns=$rcols)
+       |  WHERE o_acc NOT LIKE '#%'
+       |), res AS (
+       |  SELECT trim(o_acc) AS r_acc, trim(o_pos) AS r_pos,
+       |         trim(o_aa1) AS r_aa1, trim(o_aa2) AS r_aa2,
+       |         trim(rsid) AS rsid, trim(prediction) AS prediction,
+       |         CAST(trim(pph2_prob) AS DOUBLE) AS pph2_prob
+       |  FROM rraw
+       |  WHERE NOT (trim(o_aa1) = trim(aa2) AND trim(o_aa2) = trim(aa1))
+       |), rn_res AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY r_acc, r_pos, r_aa1, r_aa2 ORDER BY rsid) AS rn
+       |  FROM res
+       |), inf AS (
+       |  SELECT CAST(variant_id AS BIGINT) AS variant_id, gene_symbol,
+       |         protein_acc_id, i_pos, ref_aa, var_aa,
+       |         row_number() OVER (
+       |           PARTITION BY protein_acc_id, i_pos, ref_aa, var_aa
+       |           ORDER BY CAST(variant_id AS BIGINT)) AS rn
+       |  FROM read_csv('$PolyphenInfoPath', delim='$Tab', header=false,
+       |    auto_detect=false, null_padding=true, columns=$icols)
+       |  WHERE variant_id NOT LIKE '#%'
+       |)
+       |SELECT prediction, count(*) AS n,
+       |  round(sum(pph2_prob), 6) AS sum_prob,
+       |  CAST(count(DISTINCT gene_symbol) AS BIGINT) AS n_genes,
+       |  CAST(sum(variant_id) AS BIGINT) AS sum_vid
+       |FROM rn_res JOIN inf ON r_acc = protein_acc_id AND r_pos = i_pos
+       |  AND r_aa1 = ref_aa AND r_aa2 = var_aa AND rn_res.rn = inf.rn
+       |GROUP BY prediction ORDER BY prediction""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q78_vcf_file_read",
@@ -168,5 +270,21 @@ object QueriesSources {
             countDistinct(col("rs_id")).as("n_rs"))
           .orderBy(col("chromosome"))
       },
-      Some(cf2Oracle)))
+      Some(cf2Oracle)),
+
+    Q("q80_polyphen_load",
+      (spark, dir) => {
+        writePolyphenFixture()
+        val res = Polyphen.read(spark, PolyphenPath)
+          .filter(!Polyphen.swappedAA)
+        val inf = Polyphen.readInfo(spark, PolyphenInfoPath)
+        Polyphen.pairWithInfo(res, inf, col("rsid"), col("variant_id"))
+          .groupBy(col("prediction"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("pph2_prob").cast("double")), 6).as("sum_prob"),
+            countDistinct(col("gene_symbol")).as("n_genes"),
+            sum(col("variant_id")).as("sum_vid"))
+          .orderBy(col("prediction"))
+      },
+      Some(polyphenOracle)))
 }
