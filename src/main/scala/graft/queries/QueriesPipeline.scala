@@ -584,6 +584,88 @@ object QueriesPipeline {
            |FROM variants v
            |LEFT JOIN first_rs f ON v.chromosome = f.d_chr AND v.start_pos = f.d_pos
            |GROUP BY chromosome ORDER BY chromosome""".stripMargin
+      }),
+
+    // J12/J13: the ClinVar suite (`convert/ClinVar2Vcf.java:81-131`,
+    // `VariantProcessingBase.insertClinvarIds:346-384`) as one gated
+    // query. Four reference semantics compose:
+    //  - multi-position reject: a variant keeps its assembly position
+    //    only if exactly ONE non-Y maps_data row exists (`getVarPos`
+    //    nulls varChr on the 2nd hit; 'Y' rows are excluded BEFORE
+    //    counting) — a count-over-rgd_id window, one shuffle;
+    //  - existence join against genomic_elements (the reference's
+    //    comma join selects no ge columns) — left_semi, so duplicate
+    //    element rows can't fan out the variant side;
+    //  - nucleotide QC (`qcVarNucAndRefNuc:236-268`): ref/var each
+    //    non-empty and either '-' or ^[ACGTN]+$;
+    //  - clinvar_id backfill (J12): left join to CLINVAR-sourced
+    //    elements (source matched case-insensitively), symbol becomes
+    //    the id — the Spark form of the reference's batched UPDATE.
+    // 100 TB: every join is a shuffled equi-join on rgd_id; the window
+    // and all three joins share that key, so AQE coalesces into few
+    // stages and nothing broadcasts a corpus-sized frame.
+    Q("q81_clinvar_export",
+      (spark, dir) => {
+        def qcOk(c: org.apache.spark.sql.Column) =
+          c.isNotNull && length(c) > 0 && (c === "-" || c.rlike("^[ACGTN]+$"))
+        val cv = Synthetic.clinvar(spark, dir)
+          .filter(col("object_type").isin("single nucleotide variant",
+            "deletion", "insertion", "duplication"))
+          .filter(qcOk(col("ref_nuc")) && qcOk(col("var_nuc")))
+        val single = Synthetic.mapsData(spark, dir)
+          .filter(col("chromosome") =!= "Y")
+          .withColumn("n_pos", count(lit(1)).over(Window.partitionBy(col("rgd_id"))))
+          .filter(col("n_pos") === 1)
+          .select(col("rgd_id"), col("start_pos"), col("chromosome"))
+        val ge = Synthetic.elements(spark, dir)
+        val backfill = ge.filter(lower(col("source")) === "clinvar")
+          .select(col("rgd_id"), col("symbol").as("clinvar_id"))
+        cv.join(ge.select("rgd_id"), Seq("rgd_id"), "left_semi")
+          .join(single, Seq("rgd_id"))
+          .join(backfill, Seq("rgd_id"), "left_outer")
+          .withColumn("vcf_id", concat(lit("RGDID:"),
+            col("rgd_id").cast("string"), lit(";"), col("name")))
+          .groupBy(col("chromosome"))
+          .agg(count(lit(1)).as("n_written"),
+            sum(col("start_pos")).as("sum_pos"),
+            sum(when(col("rs_id").isNotNull, 1L).otherwise(0L)).as("n_with_rs"),
+            sum(when(col("clinvar_id").isNotNull, 1L).otherwise(0L)).as("n_backfilled"),
+            countDistinct(col("clinvar_id")).as("n_clinvar_ids"),
+            min(col("vcf_id")).as("first_vcf_id"))
+          .orderBy(col("chromosome"))
+      },
+      Some {
+        s"""WITH clinvar AS (${Synthetic.clinvarSql}),
+           |maps_data AS (${Synthetic.mapsDataSql}),
+           |elements AS (${Synthetic.elementsSql}),
+           |single_pos AS (
+           |  SELECT rgd_id, start_pos, chromosome FROM (
+           |    SELECT rgd_id, start_pos, chromosome,
+           |           count(*) OVER (PARTITION BY rgd_id) AS n_pos
+           |    FROM maps_data WHERE chromosome <> 'Y')
+           |  WHERE n_pos = 1),
+           |keptcv AS (
+           |  SELECT c.* FROM clinvar c
+           |  WHERE object_type IN ('single nucleotide variant','deletion',
+           |          'insertion','duplication')
+           |    AND ref_nuc IS NOT NULL AND length(ref_nuc) > 0
+           |    AND (ref_nuc = '-' OR regexp_full_match(ref_nuc, '[ACGTN]+'))
+           |    AND var_nuc IS NOT NULL AND length(var_nuc) > 0
+           |    AND (var_nuc = '-' OR regexp_full_match(var_nuc, '[ACGTN]+'))
+           |    AND EXISTS (SELECT 1 FROM elements e WHERE e.rgd_id = c.rgd_id)),
+           |backfill AS (
+           |  SELECT rgd_id, symbol AS clinvar_id FROM elements
+           |  WHERE lower(source) = 'clinvar')
+           |SELECT p.chromosome, count(*) AS n_written,
+           |  CAST(sum(p.start_pos) AS BIGINT) AS sum_pos,
+           |  CAST(sum(CASE WHEN c.rs_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_rs,
+           |  CAST(sum(CASE WHEN b.clinvar_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+           |  CAST(count(DISTINCT b.clinvar_id) AS BIGINT) AS n_clinvar_ids,
+           |  min(concat('RGDID:', CAST(c.rgd_id AS STRING), ';', c.name)) AS first_vcf_id
+           |FROM keptcv c
+           |JOIN single_pos p ON c.rgd_id = p.rgd_id
+           |LEFT JOIN backfill b ON c.rgd_id = b.rgd_id
+           |GROUP BY p.chromosome ORDER BY p.chromosome""".stripMargin
       })
   )
 }

@@ -61,6 +61,71 @@ object Synthetic {
     "g_start" -> "(p_partkey * 211) % 3000000 + 1",
     "g_stop" -> "(p_partkey * 211) % 3000000 + 1 + 200 + (p_size * 97) % 5000")
 
+  // -- ClinVar-shaped dims (J12/J13, `convert/ClinVar2Vcf.java:81-88`,
+  // `VariantProcessingBase.insertClinvarIds:346-384`): a human-variant
+  // catalog keyed by rgd_id, its positions on an assembly (possibly
+  // several), and the generic genomic_elements dim whose CLINVAR-sourced
+  // rows carry the accession symbol used for the clinvar_id backfill.
+
+  /** ClinVar variant catalog derived from `orders`. Every 6th/11th/13th
+    * key exercises a rejection path (unsupported object_type, empty or
+    * non-ACGTN nucleotides — `qcVarNucAndRefNuc`,
+    * `convert/ClinVar2Vcf.java:236-268`). */
+  val clinvarCols: Seq[(String, String)] = Seq(
+    "rgd_id" -> "o_orderkey",
+    "object_type" ->
+      """CASE (o_orderkey % 6)
+        |  WHEN 0 THEN 'single nucleotide variant'
+        |  WHEN 1 THEN 'deletion'
+        |  WHEN 2 THEN 'insertion'
+        |  WHEN 3 THEN 'duplication'
+        |  WHEN 4 THEN 'copy number gain'
+        |  ELSE 'microsatellite'
+        |END""".stripMargin,
+    "name" -> "concat('NM_00', CAST(o_orderkey % 97 AS STRING), '.3(p.Val', CAST(o_orderkey % 50 AS STRING), 'Met)')",
+    "rs_id" -> "CASE WHEN o_orderkey % 4 = 0 THEN concat('rs', CAST(o_orderkey * 3 + 101 AS STRING)) END",
+    "ref_nuc" ->
+      """CASE (o_orderkey % 11)
+        |  WHEN 0 THEN ''
+        |  WHEN 1 THEN '-'
+        |  WHEN 2 THEN 'AXG'
+        |  ELSE substr('ACGTNACGT', CAST(o_orderkey % 5 AS INT) + 1, CAST(1 + o_orderkey % 2 AS INT))
+        |END""".stripMargin,
+    "var_nuc" ->
+      """CASE (o_orderkey % 13)
+        |  WHEN 0 THEN ''
+        |  WHEN 1 THEN '-'
+        |  WHEN 2 THEN 'GZT'
+        |  ELSE substr('ACGTNACGTN', CAST(o_orderkey % 7 AS INT) + 1, CAST(1 + o_orderkey % 3 AS INT))
+        |END""".stripMargin)
+
+  /** Assembly positions: one row per rgd_id plus a second position for
+    * every 9th key (the multi-position case J13 rejects — but only
+    * counting non-Y rows, `getVarPos`'s `chromosome<>'Y'` predicate). */
+  val mapsPrimaryCols: Seq[(String, String)] = Seq(
+    "rgd_id" -> "o_orderkey",
+    "start_pos" -> "(o_orderkey * 149) % 2000000 + 1",
+    "stop_pos" -> "(o_orderkey * 149) % 2000000 + 2 + (o_orderkey % 40)",
+    "chromosome" -> chrExpr("(o_orderkey * 7 + 3)"))
+  val mapsExtraCols: Seq[(String, String)] = Seq(
+    "rgd_id" -> "o_orderkey",
+    "start_pos" -> "(o_orderkey * 211) % 2000000 + 1",
+    "stop_pos" -> "(o_orderkey * 211) % 2000000 + 2 + (o_orderkey % 25)",
+    "chromosome" -> chrExpr("(o_orderkey * 5 + 1)"))
+
+  /** genomic_elements: one row per key with mixed-case sources (the
+    * reference matches CLINVAR case-insensitively) plus an extra OMIM
+    * alias row for every 5th key, so the backfill join must filter on
+    * source before matching. */
+  val elementCols: Seq[(String, String)] = Seq(
+    "rgd_id" -> "o_orderkey",
+    "source" -> "CASE (o_orderkey % 3) WHEN 0 THEN 'ClinVar' WHEN 1 THEN 'CLINVAR' ELSE 'OMIM' END",
+    "symbol" -> "concat('RCV', CAST(o_orderkey * 7 + 13 AS STRING))")
+  val elementExtraCols: Seq[(String, String)] = Seq(
+    "rgd_id" -> "o_orderkey",
+    "source" -> "'OMIM'",
+    "symbol" -> "concat('OM', CAST(o_orderkey AS STRING))")
+
   private def selectList(cols: Seq[(String, String)]): String =
     cols.map { case (n, e) => s"($e) AS $n" }.mkString(", ")
 
@@ -79,4 +144,30 @@ object Synthetic {
   def genes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/part.parquet")
       .selectExpr(geneCols.map { case (n, e) => s"($e) AS $n" }: _*)
+
+  def clinvarSql: String = s"SELECT ${selectList(clinvarCols)} FROM orders"
+  def mapsDataSql: String =
+    s"SELECT ${selectList(mapsPrimaryCols)} FROM orders UNION ALL " +
+      s"SELECT ${selectList(mapsExtraCols)} FROM orders WHERE o_orderkey % 9 = 0"
+  def elementsSql: String =
+    s"SELECT ${selectList(elementCols)} FROM orders UNION ALL " +
+      s"SELECT ${selectList(elementExtraCols)} FROM orders WHERE o_orderkey % 5 = 0"
+
+  def clinvar(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr(clinvarCols.map { case (n, e) => s"($e) AS $n" }: _*)
+
+  def mapsData(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    o.selectExpr(mapsPrimaryCols.map { case (n, e) => s"($e) AS $n" }: _*)
+      .unionByName(o.filter("o_orderkey % 9 = 0")
+        .selectExpr(mapsExtraCols.map { case (n, e) => s"($e) AS $n" }: _*))
+  }
+
+  def elements(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    o.selectExpr(elementCols.map { case (n, e) => s"($e) AS $n" }: _*)
+      .unionByName(o.filter("o_orderkey % 5 = 0")
+        .selectExpr(elementExtraCols.map { case (n, e) => s"($e) AS $n" }: _*))
+  }
 }
