@@ -666,6 +666,191 @@ object QueriesPipeline {
            |JOIN single_pos p ON c.rgd_id = p.rgd_id
            |LEFT JOIN backfill b ON c.rgd_id = b.rgd_id
            |GROUP BY p.chromosome ORDER BY p.chromosome""".stripMargin
+      }),
+
+    // ============ q82: end-to-end post-processing slice ===============
+    // The §3.3 heart of the reference (`VariantPostProcessing.java:157-551`)
+    // with the DNA coming from the FASTA *chunk table* instead of inline
+    // synthesis: variants ⋈ exon features (binned interval join, J1) →
+    // exon DNA fetched by a shuffled (chr, chunk_idx) equi-join against
+    // Fasta.toChunks output (S5 — DNA travels to executors, never
+    // broadcast) → per-transcript CDS assembly (A10) → SNV application,
+    // strand flip, codon translation, synonymous call (X17-X21), same
+    // math as q60. A variant hits EVERY covering transcript (the
+    // reference's per-variant transcript loop), not just its origin.
+    // 100 TB: the chunk join replaces the reference's driver-side mmap
+    // (`ChrFastaFile.java:20-102`) — the genome shards across executors
+    // keyed by (chr, chunk_idx); exon rows replicate onto at most 2
+    // chunks at width 128; the interval join is the binned equi-join
+    // shape, no BNLJ.
+    Q("q82_postprocess_fasta",
+      (spark, dir) => {
+        val W = 128
+        val bases = typedlit(Seq("A", "C", "G", "T"))
+        // genome: 25 chromosomes x 800bp, deterministic per-base
+        val chrs = table(spark, dir, "nation").select((col("n_nationkey") + 1).as("c"))
+        val headers = chrs.select((col("c") * 10000).as("line_id"),
+          concat(lit(">chr"), col("c")).as("line"))
+        val seqLines = chrs.withColumn("i", explode(sequence(lit(1), lit(20))))
+          .select((col("c") * 10000 + col("i")).as("line_id"),
+            array_join(transform(sequence(lit(1), lit(40)),
+              j => element_at(bases,
+                ((col("c") * 7 + col("i") * 3 + j) % 4 + 1).cast("int"))), "").as("line"))
+        val chunks = graft.sources.Fasta.toChunks(
+          graft.sources.Fasta.parseLines(headers.unionByName(seqLines)), width = W)
+          .localCheckpoint(true) // exon fetch below reuses the parse
+        // transcripts: 2-3 exons in genomic order, disjoint 250bp bands
+        val t = table(spark, dir, "part").select(
+          col("p_partkey").as("tid"),
+          (col("p_partkey") % 2 + 2).cast("int").as("n_exons"),
+          when(col("p_partkey") % 2 === 1, "-").otherwise("+").as("strand"),
+          concat(lit("chr"), col("p_partkey") % 25 + 1).as("chr"))
+        val ex = t.withColumn("exon_idx", explode(sequence(lit(0), col("n_exons") - 1)))
+          .withColumn("e_start",
+            (lit(37) + col("exon_idx") * 250 + (col("tid") * 53) % 190).cast("long"))
+          .withColumn("e_len", (lit(24) + (col("tid") * 7 + col("exon_idx") * 13) % 33).cast("int"))
+          .withColumn("e_stop", col("e_start") + col("e_len") - 1)
+        // exon DNA: explode exon onto covering chunks, equi-join, concat
+        val pieces = ex
+          .withColumn("from0", col("e_start") - 1)
+          .withColumn("upto0", col("e_stop"))
+          .withColumn("chunk_idx", explode(sequence(
+            (col("from0") / W).cast("int"), ((col("upto0") - 1) / W).cast("int"))))
+          .join(chunks, Seq("chr", "chunk_idx"))
+          .withColumn("cbase", col("chunk_idx").cast("long") * W)
+          .withColumn("cut_from", greatest(col("cbase"), col("from0")) - col("cbase"))
+          .withColumn("cut_upto", least(col("cbase") + W, col("upto0")) - col("cbase"))
+          .withColumn("piece",
+            expr("substring(seq, CAST(cut_from + 1 AS INT), CAST(cut_upto - cut_from AS INT))"))
+        val wp = Window.partitionBy(col("tid")).orderBy(col("exon_idx"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val exd = pieces
+          .groupBy(col("tid"), col("exon_idx"), col("chr"), col("n_exons"),
+            col("strand"), col("e_start"), col("e_stop"), col("e_len"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("chunk_idx"), col("piece")))),
+            x => x("piece")), "").as("dna"))
+          .withColumn("prior_len", coalesce(sum(col("e_len")).over(wp), lit(0)).cast("long"))
+        val cds = exd.groupBy(col("tid"), col("strand"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("exon_idx"), col("dna")))),
+            x => x("dna")), "").as("cds"))
+        // variants: one SNV per origin transcript, then matched to ALL
+        // covering exons by (chr, position) — identity forgotten
+        val hk = col("p_partkey") % (col("p_partkey") % 2 + 2)
+        val vlen = lit(24) + (col("p_partkey") * 7 + hk * 13) % 33
+        val v = table(spark, dir, "part").select(
+          col("p_partkey").as("vid"),
+          concat(lit("chr"), col("p_partkey") % 25 + 1).as("v_chr"),
+          (lit(37) + hk * 250 + (col("p_partkey") * 53) % 190
+            + (col("p_partkey") * 13) % vlen).cast("long").as("g_pos"),
+          element_at(bases, ((col("p_partkey") * 17 + 3) % 4 + 1).cast("int")).as("var_base"))
+        val hits = graft.operators.RangeJoin.pointInInterval(
+            v, exd.drop("dna"), Seq("v_chr"), Seq("chr"),
+            "g_pos", "e_start", "e_stop", binSize = 256L)
+          .withColumn("rel_pos", col("prior_len") + (col("g_pos") - col("e_start")) + 1)
+          .select(col("vid"), col("tid"), col("rel_pos"), col("var_base"))
+        val asm = hits.join(cds, "tid")
+          .withColumn("var_cds", concat(
+            expr("substring(cds, 1, CAST(rel_pos - 1 AS INT))"),
+            col("var_base"),
+            expr("substring(cds, CAST(rel_pos + 1 AS INT))")))
+          .withColumn("cds2", when(col("strand") === "-",
+            DnaFunctions.reverseComplement(col("cds"))).otherwise(col("cds")))
+          .withColumn("var_cds2", when(col("strand") === "-",
+            DnaFunctions.reverseComplement(col("var_cds"))).otherwise(col("var_cds")))
+          .withColumn("rel2", when(col("strand") === "-",
+            length(col("cds")) - col("rel_pos") + 1).otherwise(col("rel_pos")))
+          .withColumn("trunc_len", expr("3 * (length(cds2) DIV 3)"))
+          .withColumn("triplet_error", when(col("rel2") > col("trunc_len"), "T").otherwise("F"))
+          .withColumn("aa_pos",
+            when(col("triplet_error") === "T", 0L)
+              .otherwise(expr("CAST((rel2 + 2) DIV 3 AS BIGINT)")))
+          .withColumn("ref_aa",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(DnaFunctions.translateCodon(
+                expr("substring(cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+          .withColumn("var_aa",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(DnaFunctions.translateCodon(
+                expr("substring(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+          .withColumn("syn_status",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(VariantFunctions.synStatus(col("ref_aa"), col("var_aa"))))
+        asm.groupBy(col("strand"), col("triplet_error"), col("syn_status"))
+          .agg(count(lit(1)).as("cnt"), sum(col("aa_pos")).as("sum_aa_pos"),
+            sum(col("rel2")).as("sum_rel_pos"), sum(col("vid")).as("sum_vid"))
+          .orderBy(col("strand"), col("triplet_error"), col("syn_status"))
+      },
+      Some {
+        val revcomp = (c: String) => s"reverse(translate(upper($c), 'ACGT', 'TGCA'))"
+        s"""WITH chrs AS (SELECT n_nationkey + 1 AS c FROM nation),
+           |ln AS (
+           |  SELECT c, i, string_agg(ch, '' ORDER BY j) AS line
+           |  FROM (SELECT c, i, j, ['A','C','G','T'][(c*7 + i*3 + j) % 4 + 1] AS ch
+           |        FROM chrs, generate_series(1, 20) s(i), generate_series(1, 40) t(j))
+           |  GROUP BY c, i),
+           |chrseq AS (SELECT c, string_agg(line, '' ORDER BY i) AS seq FROM ln GROUP BY c),
+           |t AS (
+           |  SELECT p_partkey AS tid, CAST(p_partkey % 2 + 2 AS INT) AS n_exons,
+           |    CASE WHEN p_partkey % 2 = 1 THEN '-' ELSE '+' END AS strand,
+           |    (p_partkey % 25) + 1 AS chrn
+           |  FROM part),
+           |ex AS (
+           |  SELECT tid, n_exons, strand, chrn, exon_idx,
+           |    CAST(37 + exon_idx * 250 + (tid * 53) % 190 AS BIGINT) AS e_start,
+           |    CAST(24 + (tid * 7 + exon_idx * 13) % 33 AS INT) AS e_len
+           |  FROM t, LATERAL (SELECT unnest(generate_series(0, n_exons - 1)) AS exon_idx)),
+           |exd AS (
+           |  SELECT ex.*, e_start + e_len - 1 AS e_stop,
+           |    substr(cs.seq, CAST(e_start AS INT), e_len) AS dna,
+           |    CAST(coalesce(sum(e_len) OVER (PARTITION BY tid ORDER BY exon_idx
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_len
+           |  FROM ex JOIN chrseq cs ON cs.c = ex.chrn),
+           |cds AS (SELECT tid, strand, string_agg(dna, '' ORDER BY exon_idx) AS cds
+           |        FROM exd GROUP BY tid, strand),
+           |v AS (
+           |  SELECT p_partkey AS vid, (p_partkey % 25) + 1 AS chrn,
+           |    CAST(37 + (p_partkey % (p_partkey % 2 + 2)) * 250 + (p_partkey * 53) % 190
+           |      + (p_partkey * 13) % (24 + (p_partkey * 7 + (p_partkey % (p_partkey % 2 + 2)) * 13) % 33)
+           |      AS BIGINT) AS g_pos,
+           |    substr('ACGT', CAST((p_partkey * 17 + 3) % 4 AS INT) + 1, 1) AS var_base
+           |  FROM part),
+           |hits AS (
+           |  SELECT v.vid, e.tid, e.prior_len + (v.g_pos - e.e_start) + 1 AS rel_pos, v.var_base
+           |  FROM v JOIN exd e ON v.chrn = e.chrn AND v.g_pos BETWEEN e.e_start AND e.e_stop),
+           |asm AS (
+           |  SELECT h.vid, h.tid, c.strand, c.cds, h.rel_pos,
+           |    substr(c.cds, 1, CAST(h.rel_pos - 1 AS INT)) || h.var_base
+           |      || substr(c.cds, CAST(h.rel_pos + 1 AS INT)) AS var_cds
+           |  FROM hits h JOIN cds c ON c.tid = h.tid),
+           |ori AS (
+           |  SELECT vid, strand,
+           |    CASE WHEN strand = '-' THEN ${revcomp("cds")} ELSE cds END AS cds2,
+           |    CASE WHEN strand = '-' THEN ${revcomp("var_cds")} ELSE var_cds END AS var_cds2,
+           |    CASE WHEN strand = '-' THEN length(cds) - rel_pos + 1 ELSE rel_pos END AS rel2
+           |  FROM asm),
+           |fin AS (
+           |  SELECT *, CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 'T' ELSE 'F' END AS triplet_error,
+           |    CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 0 ELSE (rel2 + 2) // 3 END AS aa_pos
+           |  FROM ori),
+           |aa AS (
+           |  SELECT vid, strand, triplet_error, CAST(aa_pos AS BIGINT) AS aa_pos, rel2,
+           |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+           |         ELSE ${QueriesGenomic.codonCaseSql("substr(cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS ref_aa,
+           |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+           |         ELSE ${QueriesGenomic.codonCaseSql("substr(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS var_aa
+           |  FROM fin)
+           |SELECT strand, triplet_error,
+           |  CASE WHEN triplet_error = 'T' THEN 'skipped'
+           |       WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+           |       WHEN ref_aa = var_aa THEN 'synonymous'
+           |       ELSE 'nonsynonymous' END AS syn_status,
+           |  count(*) AS cnt, CAST(sum(aa_pos) AS BIGINT) AS sum_aa_pos,
+           |  CAST(sum(rel2) AS BIGINT) AS sum_rel_pos,
+           |  CAST(sum(vid) AS BIGINT) AS sum_vid
+           |FROM aa
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
       })
   )
 }
