@@ -218,6 +218,61 @@ object QueriesSources {
        |GROUP BY prediction ORDER BY prediction""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  // S16: PolyPhen log scraper (`PolyphenFasta.readProteinAccIds:
+  // 128-151`) — "ERROR: Unable to locate protein entry <acc> ..." lines
+  // yield a distinct acc-id set, here joined back against the .info
+  // file's protein ids to split known/unknown (the reference uses the
+  // set to re-drive FASTA extraction for the missing ids).
+
+  private val LogPath = s"$FixtureDir/polyphen_run.log"
+  private val LogLines = 400
+
+  private def writeLogFixture(): Unit = {
+    val f = new java.io.File(LogPath)
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f)
+    try {
+      var i = 0
+      while (i < LogLines) {
+        val line = (i % 7) match {
+          case 0 => s"ERROR: Unable to locate protein entry NP_${1000 + i % 60} for map key 372"
+          case 1 => "ERROR: transcript mapping failed downstream"
+          case 2 => "WARN: Unable to locate protein entry NP_9999 ignored"
+          case _ => s"INFO: processed chunk $i"
+        }
+        w.println(line)
+        i += 1
+      }
+    } finally w.close()
+  }
+
+  private val logOracle: String = {
+    val icols = Polyphen.infoSchema.fieldNames
+      .map(n => s"'$n':'VARCHAR'").mkString("{", ",", "}")
+    s"""WITH lines AS (
+       |  SELECT line FROM read_csv('$LogPath', delim='$Tab', header=false,
+       |    auto_detect=false, columns={'line':'VARCHAR'})),
+       |missing AS (
+       |  SELECT DISTINCT acc AS protein_acc_id FROM (
+       |    SELECT regexp_extract(line,
+       |      '^ERROR: Unable to locate protein entry (\\S+) ', 1) AS acc
+       |    FROM lines
+       |    WHERE line LIKE 'ERROR: Unable to locate protein entry %')
+       |  WHERE acc <> ''),
+       |known AS (
+       |  SELECT DISTINCT protein_acc_id
+       |  FROM read_csv('$PolyphenInfoPath', delim='$Tab', header=false,
+       |    auto_detect=false, null_padding=true, columns=$icols)
+       |  WHERE variant_id NOT LIKE '#%')
+       |SELECT (k.protein_acc_id IS NOT NULL) AS in_info,
+       |  count(*) AS n_accs,
+       |  min(m.protein_acc_id) AS first_acc,
+       |  max(m.protein_acc_id) AS last_acc
+       |FROM missing m LEFT JOIN known k ON m.protein_acc_id = k.protein_acc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q78_vcf_file_read",
@@ -286,5 +341,22 @@ object QueriesSources {
             sum(col("variant_id")).as("sum_vid"))
           .orderBy(col("prediction"))
       },
-      Some(polyphenOracle)))
+      Some(polyphenOracle)),
+
+    Q("q83_log_scrape",
+      (spark, dir) => {
+        writePolyphenFixture()
+        writeLogFixture()
+        val missing = Polyphen.scrapeMissingProteins(spark, LogPath)
+        val known = Polyphen.readInfo(spark, PolyphenInfoPath)
+          .select(col("protein_acc_id")).distinct()
+          .withColumn("known", lit(1))
+        missing.join(known, Seq("protein_acc_id"), "left_outer")
+          .groupBy(col("known").isNotNull.as("in_info"))
+          .agg(count(lit(1)).as("n_accs"),
+            min(col("protein_acc_id")).as("first_acc"),
+            max(col("protein_acc_id")).as("last_acc"))
+          .orderBy(col("in_info"))
+      },
+      Some(logOracle)))
 }

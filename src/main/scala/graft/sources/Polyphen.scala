@@ -84,6 +84,23 @@ object Polyphen {
       .option("comment", "#")
       .csv(path))
 
+  /** S16: scrape a PolyPhen run log for "Unable to locate protein
+    * entry" errors (`PolyphenFasta.readProteinAccIds:128-151`): lines
+    * starting with the exact prefix yield the whitespace-delimited acc
+    * id that follows it; the result is the distinct id set. The
+    * reference requires text after the id (it substrings to the next
+    * space); the regexp form keeps that contract and simply drops a
+    * malformed truncated line instead of throwing. */
+  val MissingProteinPrefix = "ERROR: Unable to locate protein entry "
+
+  def scrapeMissingProteins(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(col("value").startsWith(MissingProteinPrefix))
+      .select(regexp_extract(col("value"),
+        "^ERROR: Unable to locate protein entry (\\S+) ", 1).as("protein_acc_id"))
+      .filter(col("protein_acc_id") =!= "")
+      .distinct()
+
   /** F12: the swapped-AA rejection predicate — true for rows that must
     * be DROPPED (`o_aa1==varAA && o_aa2==refAA`,
     * `PolyphenLoader.java:171-180`). */
