@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clearBlocks() unpersists locally-checkpointed RDDs, which logs a
+    // benign "lineage has been truncated" WARN per block (each query
+    // rebuilds from source); silence that one category so real
+    // warnings stay visible in the bench log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // optional comma-separated substring filter for targeted perf work
     // (driver runs with it unset = full catalog)
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")

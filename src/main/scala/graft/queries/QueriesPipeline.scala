@@ -731,6 +731,9 @@ object QueriesPipeline {
             sort_array(collect_list(struct(col("chunk_idx"), col("piece")))),
             x => x("piece")), "").as("dna"))
           .withColumn("prior_len", coalesce(sum(col("e_len")).over(wp), lit(0)).cast("long"))
+          // consumed twice (cds aggregation + hits interval join) —
+          // materialize once so the chunk join + assembly run a single time
+          .localCheckpoint(true)
         val cds = exd.groupBy(col("tid"), col("strand"))
           .agg(array_join(transform(
             sort_array(collect_list(struct(col("exon_idx"), col("dna")))),
@@ -750,30 +753,42 @@ object QueriesPipeline {
             "g_pos", "e_start", "e_stop", binSize = 256L)
           .withColumn("rel_pos", col("prior_len") + (col("g_pos") - col("e_start")) + 1)
           .select(col("vid"), col("tid"), col("rel_pos"), col("var_base"))
+        // Codon-local evaluation: the mutated codon occupies coding-strand
+        // positions [3*aa_pos-2, 3*aa_pos]; on '-' that maps to stored
+        // positions [len-3*aa_pos+1, len-3*aa_pos+3] read back
+        // reverse-complemented, and the variant base lands at codon
+        // offset rel2-3*aa_pos+3 (complemented on '-'). Cutting 3 bases
+        // beats materializing var_cds + reverse-complementing the whole
+        // CDS per (variant, transcript) row — O(1) vs O(|CDS|) per hit,
+        // which is the real cost at genome scale where CDS are kilobases
+        // and a variant fans out to every overlapping transcript.
         val asm = hits.join(cds, "tid")
-          .withColumn("var_cds", concat(
-            expr("substring(cds, 1, CAST(rel_pos - 1 AS INT))"),
-            col("var_base"),
-            expr("substring(cds, CAST(rel_pos + 1 AS INT))")))
-          .withColumn("cds2", when(col("strand") === "-",
-            DnaFunctions.reverseComplement(col("cds"))).otherwise(col("cds")))
-          .withColumn("var_cds2", when(col("strand") === "-",
-            DnaFunctions.reverseComplement(col("var_cds"))).otherwise(col("var_cds")))
+          .withColumn("cds_len", length(col("cds")))
           .withColumn("rel2", when(col("strand") === "-",
-            length(col("cds")) - col("rel_pos") + 1).otherwise(col("rel_pos")))
-          .withColumn("trunc_len", expr("3 * (length(cds2) DIV 3)"))
+            col("cds_len") - col("rel_pos") + 1).otherwise(col("rel_pos")))
+          .withColumn("trunc_len", expr("3 * (cds_len DIV 3)"))
           .withColumn("triplet_error", when(col("rel2") > col("trunc_len"), "T").otherwise("F"))
           .withColumn("aa_pos",
             when(col("triplet_error") === "T", 0L)
               .otherwise(expr("CAST((rel2 + 2) DIV 3 AS BIGINT)")))
+          .withColumn("ref_codon",
+            when(col("triplet_error") === "T", lit(""))
+              .when(col("strand") === "-", DnaFunctions.reverseComplement(
+                expr("substring(cds, CAST(cds_len - 3 * aa_pos + 1 AS INT), 3)")))
+              .otherwise(expr("substring(cds, CAST(3 * aa_pos - 2 AS INT), 3)")))
+          .withColumn("var_codon",
+            when(col("triplet_error") === "T", lit(""))
+              .otherwise(overlay(col("ref_codon"),
+                when(col("strand") === "-",
+                  DnaFunctions.reverseComplement(col("var_base")))
+                  .otherwise(col("var_base")),
+                (col("rel2") - col("aa_pos") * 3 + 3).cast("int"))))
           .withColumn("ref_aa",
             when(col("triplet_error") === "T", "skipped")
-              .otherwise(DnaFunctions.translateCodon(
-                expr("substring(cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+              .otherwise(DnaFunctions.translateCodon(col("ref_codon"))))
           .withColumn("var_aa",
             when(col("triplet_error") === "T", "skipped")
-              .otherwise(DnaFunctions.translateCodon(
-                expr("substring(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)"))))
+              .otherwise(DnaFunctions.translateCodon(col("var_codon"))))
           .withColumn("syn_status",
             when(col("triplet_error") === "T", "skipped")
               .otherwise(VariantFunctions.synStatus(col("ref_aa"), col("var_aa"))))
