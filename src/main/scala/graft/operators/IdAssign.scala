@@ -36,9 +36,11 @@ object IdAssign {
                   offset: Long = 0L, numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // no sortWithinPartitions: the row_number window below already
+    // sorts each partition by (__pid, keys) — a pre-sort would be paid
+    // twice
     val ranged = df
       .repartitionByRange(parts, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid"))
       .orderBy(keys.map(col): _*)

@@ -342,15 +342,19 @@ object QueriesPipeline {
           .select(col("vid"), col("chromosome"), col("start_pos"),
             upper(col("ref_nuc")).as("ref"), upper(col("var_nuc")).as("var"))
         val keys = Seq("chromosome", "start_pos", "ref", "var")
-        val inc = v.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
-        val existing = v.filter(col("vid") % 3 === 0)
-          .groupBy(keys.map(col): _*).agg(min(col("vid")).as("ex_id"))
-        val mx = existing.agg(max(col("ex_id")).as("max_ex"))
-        // materialized once: the new/old branch split below would
-        // otherwise recompute the groupBys and join for each branch
-        val joined = inc.join(existing, keys, "left_outer")
-          .crossJoin(broadcast(mx))
+        // single aggregation pass: the incoming per-key count and the
+        // existing-id lookup (a left-outer join in the naive form) fold
+        // into one groupBy — min(when(existing, vid)) is null exactly
+        // where the join would miss. One shuffle over the variants
+        // instead of two groupBys + an equi-join.
+        val grouped = v.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            min(when(col("vid") % 3 === 0, col("vid"))).as("ex_id"))
+          // materialized once: max_ex and the new/old branch split below
+          // would otherwise recompute the aggregation per consumer
           .localCheckpoint(true)
+        val mx = grouped.agg(max(col("ex_id")).as("max_ex"))
+        val joined = grouped.crossJoin(broadcast(mx))
         val newKeys = graft.operators.IdAssign
           .assignDense(joined.filter(col("ex_id").isNull), keys, "__seq")
           .withColumn("assigned_id", col("max_ex") + col("__seq"))
