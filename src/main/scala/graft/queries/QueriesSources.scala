@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.sources.{Cf2, Polyphen, Vcf}
+import graft.functions.DnaFunctions
+import graft.sources.{Cf2, Fasta, Polyphen, Vcf}
 
 /** File-format source queries — the reference pipeline's *front door*
   * (S1-S3/K1): real text files written to disk, read back through the
@@ -273,6 +274,184 @@ object QueriesSources {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q84
+  // The reference's production flow chained end to end over ONE input
+  // (`run_converter.sh` -> `run_varload.sh` -> `run_varpostprocessing.sh`,
+  // SURVEY §3): a multi-sample/multi-allele VCF with indels is read
+  // (S1), strains and alt alleles exploded with genotype filtering and
+  // zygosity (X8, `VcfToCommonFormat2Converter.java:126-290`), the
+  // shared padding base stripped and the variant typed
+  // (`VariantLoad3.java:236-314`), distinct natural keys get dense ids
+  // (J5/K4, `VariantProcessingBase.insertVariantRgdIds2`), genic status
+  // comes from the exon interval join (`VariantLoad3.java:682-694`),
+  // and SNVs run the full transcript/codon math of q82
+  // (`VariantPostProcessing.java:157-551`). One aggregate; the DuckDB
+  // oracle replays every stage over the same file + tables.
+
+  private val ChainVcfPath = s"$FixtureDir/chain.vcf"
+  private val ChainVcfLines = 800
+
+  /** Deterministic chain fixture: shapes cycle SNV / multi-allele SNV /
+    * deletion / insertion, genotypes cycle hom/het/missing (incl. 1/2
+    * and 0/2 on the multi-allele lines), positions land in and out of
+    * the synthetic exon bands. */
+  private def writeChainVcfFixture(): Unit = {
+    val f = new java.io.File(ChainVcfPath)
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f)
+    try {
+      w.println("##fileformat=VCFv4.2")
+      w.println("##source=graft-chain")
+      w.println((Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+        "INFO", "FORMAT") ++ VcfStrains).mkString("\t"))
+      val bases = "ACGT"
+      val gts4 = Array("0/0", "0/1", "1/1", "./.")
+      val gts6 = Array("0/1", "1/1", "1/2", "0/2", "2/2", "./.")
+      var i = 0
+      while (i < ChainVcfLines) {
+        val chrom = ((i % 5) + 1).toString
+        val pos = 1000 + i * 9
+        val b1 = bases.charAt(i % 4).toString
+        val b2 = bases.charAt((i + 1 + i % 3) % 4).toString
+        val b3 = bases.charAt((i + 3) % 4).toString
+        val (ref, alt) = (i % 4) match {
+          case 0 => (b1, b2)                              // SNV
+          case 1 => (b1, bases.charAt((i % 4 + 1) % 4).toString + "," +
+            bases.charAt((i % 4 + 2) % 4).toString)       // 2-allele SNV
+          case 2 => (b1 + b3, b1)                         // deletion
+          case _ => (b1, b1 + b3)                         // insertion
+        }
+        val gts = VcfStrains.indices.map { s =>
+          if (i % 4 == 1) gts6((i * 7 + s * 3) % 6) else gts4((i * 7 + s * 3) % 4)
+        }
+        w.println((Seq(chrom, pos.toString, "rs" + (200000 + i), ref, alt,
+          (i % 60).toString, "PASS", "DP=" + (20 + i % 80), "GT") ++ gts)
+          .mkString("\t"))
+        i += 1
+      }
+    } finally w.close()
+  }
+
+  private val chainOracle: String = {
+    val cols = (1 to 13).map(i => s"'c$i':'VARCHAR'").mkString("{", ",", "}")
+    val perStrain = VcfStrains.zipWithIndex.map { case (s, i) =>
+      s"""SELECT c1 AS chrom, CAST(c2 AS BIGINT) AS pos, c4 AS ref,
+         |       c5 AS alt, c${10 + i} AS gt FROM raw""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val revcomp = (c: String) => s"reverse(translate(upper($c), 'ACGT', 'TGCA'))"
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('$ChainVcfPath', delim='$Tab', header=false,
+       |    auto_detect=false, null_padding=true, columns=$cols)
+       |  WHERE c1 NOT LIKE '#%'
+       |), long AS (
+       |$perStrain
+       |), al AS (
+       |  SELECT l.chrom, l.pos, l.ref, l.gt,
+       |    string_split(l.alt, ',')[u.a_idx] AS va
+       |  FROM long l, LATERAL (
+       |    SELECT DISTINCT TRY_CAST(x AS INT) AS a_idx
+       |    FROM unnest(string_split(l.gt, '/')) t(x)
+       |    WHERE TRY_CAST(x AS INT) > 0) u
+       |), conv AS (
+       |  SELECT chrom AS chromosome,
+       |    CASE WHEN string_split(gt, '/')[1] = string_split(gt, '/')[2]
+       |         THEN 'hom' ELSE 'het' END AS zyg,
+       |    CASE WHEN share THEN substr(ref, 2) ELSE ref END AS ref_nuc,
+       |    CASE WHEN share THEN substr(va, 2) ELSE va END AS var_nuc,
+       |    CASE WHEN share THEN pos + 1 ELSE pos END AS position
+       |  FROM (SELECT *, (length(ref) > 1 OR length(va) > 1)
+       |          AND substr(ref, 1, 1) = substr(va, 1, 1) AS share FROM al)
+       |), vars AS (
+       |  SELECT chromosome, position, ref_nuc, var_nuc,
+       |    max(CASE WHEN ref_nuc = '' AND var_nuc <> '' THEN 'ins'
+       |             WHEN var_nuc = '' AND ref_nuc <> '' THEN 'del'
+       |             WHEN length(ref_nuc) = 1 AND length(var_nuc) = 1 THEN 'snv'
+       |             WHEN length(ref_nuc) = length(var_nuc) THEN 'mnv'
+       |             ELSE 'delins' END) AS variant_type,
+       |    count(*) AS n_samples,
+       |    sum(CASE WHEN zyg = 'het' THEN 1 ELSE 0 END) AS n_het,
+       |    row_number() OVER (
+       |      ORDER BY chromosome, position, ref_nuc, var_nuc) AS assigned_id
+       |  FROM conv GROUP BY 1, 2, 3, 4
+       |), chrs AS (SELECT n_nationkey + 1 AS c FROM nation WHERE n_nationkey < 5),
+       |ln AS (
+       |  SELECT c, i, string_agg(ch, '' ORDER BY j) AS line
+       |  FROM (SELECT c, i, j, ['A','C','G','T'][(c*7 + i*3 + j) % 4 + 1] AS ch
+       |        FROM chrs, generate_series(1, 225) s(i), generate_series(1, 40) t(j))
+       |  GROUP BY c, i),
+       |chrseq AS (SELECT c, string_agg(line, '' ORDER BY i) AS seq FROM ln GROUP BY c),
+       |t AS (
+       |  SELECT p_partkey AS tid, CAST(p_partkey % 2 + 2 AS INT) AS n_exons,
+       |    CASE WHEN p_partkey % 2 = 1 THEN '-' ELSE '+' END AS strand,
+       |    (p_partkey % 25) + 1 AS chrn
+       |  FROM part WHERE p_partkey % 25 < 5),
+       |ex AS (
+       |  SELECT tid, n_exons, strand, chrn, exon_idx,
+       |    CAST(37 + exon_idx * 2500 + (tid * 53) % 2300 AS BIGINT) AS e_start,
+       |    CAST(24 + (tid * 7 + exon_idx * 13) % 33 AS INT) AS e_len
+       |  FROM t, LATERAL (SELECT unnest(generate_series(0, n_exons - 1)) AS exon_idx)),
+       |exd AS (
+       |  SELECT ex.*, e_start + e_len - 1 AS e_stop,
+       |    substr(cs.seq, CAST(e_start AS INT), e_len) AS dna,
+       |    CAST(coalesce(sum(e_len) OVER (PARTITION BY tid ORDER BY exon_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_len
+       |  FROM ex JOIN chrseq cs ON cs.c = ex.chrn),
+       |cds AS (SELECT tid, strand, string_agg(dna, '' ORDER BY exon_idx) AS cds
+       |        FROM exd GROUP BY tid, strand),
+       |allhits AS (
+       |  SELECT v.assigned_id, v.variant_type, v.var_nuc, e.tid,
+       |    e.prior_len + (v.position - e.e_start) + 1 AS rel_pos
+       |  FROM vars v JOIN exd e ON CAST(e.chrn AS VARCHAR) = v.chromosome
+       |    AND v.position BETWEEN e.e_start AND e.e_stop),
+       |genic AS (SELECT DISTINCT assigned_id FROM allhits),
+       |asm AS (
+       |  SELECT h.assigned_id, h.tid, c.strand, c.cds, h.rel_pos,
+       |    substr(c.cds, 1, CAST(h.rel_pos - 1 AS INT)) || h.var_nuc
+       |      || substr(c.cds, CAST(h.rel_pos + 1 AS INT)) AS var_cds
+       |  FROM allhits h JOIN cds c ON c.tid = h.tid
+       |  WHERE h.variant_type = 'snv'),
+       |ori AS (
+       |  SELECT assigned_id, tid,
+       |    CASE WHEN strand = '-' THEN ${revcomp("cds")} ELSE cds END AS cds2,
+       |    CASE WHEN strand = '-' THEN ${revcomp("var_cds")} ELSE var_cds END AS var_cds2,
+       |    CASE WHEN strand = '-' THEN length(cds) - rel_pos + 1 ELSE rel_pos END AS rel2
+       |  FROM asm),
+       |fin AS (
+       |  SELECT *, CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 'T' ELSE 'F' END AS triplet_error,
+       |    CASE WHEN rel2 > 3 * (length(cds2) // 3) THEN 0 ELSE (rel2 + 2) // 3 END AS aa_pos
+       |  FROM ori),
+       |aa AS (
+       |  SELECT assigned_id, tid, CAST(aa_pos AS BIGINT) AS aa_pos, triplet_error,
+       |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |         ELSE ${QueriesGenomic.codonCaseSql("substr(cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS ref_aa,
+       |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |         ELSE ${QueriesGenomic.codonCaseSql("substr(var_cds2, CAST(3 * aa_pos - 2 AS INT), 3)")} END AS var_aa
+       |  FROM fin),
+       |aa2 AS (
+       |  SELECT assigned_id, tid, aa_pos,
+       |    CASE WHEN triplet_error = 'T' THEN 'skipped'
+       |         WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+       |         WHEN ref_aa = var_aa THEN 'synonymous'
+       |         ELSE 'nonsynonymous' END AS syn_status
+       |  FROM aa),
+       |base AS (
+       |  SELECT v.variant_type,
+       |    CASE WHEN g.assigned_id IS NOT NULL THEN 'GENIC' ELSE 'INTERGENIC' END AS genic_status,
+       |    coalesce(a.syn_status, 'none') AS syn_status,
+       |    v.assigned_id, v.n_samples, v.n_het, a.aa_pos
+       |  FROM vars v
+       |  LEFT JOIN genic g ON g.assigned_id = v.assigned_id
+       |  LEFT JOIN aa2 a ON a.assigned_id = v.assigned_id)
+       |SELECT variant_type, genic_status, syn_status,
+       |  count(*) AS cnt,
+       |  CAST(count(DISTINCT assigned_id) AS BIGINT) AS n_vars,
+       |  CAST(sum(assigned_id) AS BIGINT) AS sum_id,
+       |  CAST(sum(n_samples) AS BIGINT) AS sum_samples,
+       |  CAST(sum(n_het) AS BIGINT) AS sum_het,
+       |  CAST(coalesce(sum(aa_pos), 0) AS BIGINT) AS sum_aa_pos
+       |FROM base GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q78_vcf_file_read",
@@ -342,6 +521,162 @@ object QueriesSources {
           .orderBy(col("prediction"))
       },
       Some(polyphenOracle)),
+
+    Q("q84_pipeline_chain",
+      (spark, dir) => {
+        writeChainVcfFixture()
+        val W = 256
+        val bases = typedlit(Seq("A", "C", "G", "T"))
+        // ---- convert (S1/X8/F2): strain + alt-allele explode, zygosity,
+        // padding-base strip, variant typing
+        val gtParts = split(col("gt"), "/")
+        val cf2 = Vcf.read(spark, ChainVcfPath)
+          .withColumn("a_idx", explode(array_distinct(expr(
+            "filter(transform(split(gt, '/'), x -> try_cast(x AS INT))," +
+              " x -> x IS NOT NULL AND x > 0)"))))
+          .withColumn("va", element_at(split(col("alt"), ","), col("a_idx")))
+          .withColumn("zyg", when(element_at(gtParts, 1) === element_at(gtParts, 2),
+            "hom").otherwise("het"))
+          .withColumn("share",
+            (length(col("ref")) > 1 || length(col("va")) > 1) &&
+              substring(col("ref"), 1, 1) === substring(col("va"), 1, 1))
+          .withColumn("ref_nuc",
+            when(col("share"), expr("substring(ref, 2)")).otherwise(col("ref")))
+          .withColumn("var_nuc",
+            when(col("share"), expr("substring(va, 2)")).otherwise(col("va")))
+          .withColumn("position",
+            when(col("share"), col("pos") + 1).otherwise(col("pos")))
+          .withColumn("variant_type",
+            when(col("ref_nuc") === "" && col("var_nuc") =!= "", "ins")
+              .when(col("var_nuc") === "" && col("ref_nuc") =!= "", "del")
+              .when(length(col("ref_nuc")) === 1 && length(col("var_nuc")) === 1, "snv")
+              .when(length(col("ref_nuc")) === length(col("var_nuc")), "mnv")
+              .otherwise("delins"))
+          .withColumnRenamed("chrom", "chromosome")
+        // ---- load (J5/K3/K4): dedup to VARIANT rows + dense ids
+        // (assignDense materializes internally; downstream consumers
+        // read its checkpointed blocks, not the VCF parse)
+        val keys = Seq("chromosome", "position", "ref_nuc", "var_nuc")
+        val vars = graft.operators.IdAssign.assignDense(
+          cf2.groupBy(keys.map(col): _*)
+            .agg(max(col("variant_type")).as("variant_type"),
+              count(lit(1)).as("n_samples"),
+              sum(when(col("zyg") === "het", 1L).otherwise(0L)).as("n_het")),
+          keys, "assigned_id")
+        // ---- post-process inputs: genome chunk table + exon DNA
+        // (5 chromosomes x 9000 bp; same shapes as q82)
+        val chrs = table(spark, dir, "nation")
+          .filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 1).as("c"))
+        val headers = chrs.select((col("c") * 100000).as("line_id"),
+          concat(lit(">"), col("c")).as("line"))
+        val seqLines = chrs.withColumn("i", explode(sequence(lit(1), lit(225))))
+          .select((col("c") * 100000 + col("i")).as("line_id"),
+            array_join(transform(sequence(lit(1), lit(40)),
+              j => element_at(bases,
+                ((col("c") * 7 + col("i") * 3 + j) % 4 + 1).cast("int"))), "").as("line"))
+        val chunks = Fasta.toChunks(
+          Fasta.parseLines(headers.unionByName(seqLines)), width = W)
+        val t = table(spark, dir, "part")
+          .filter(col("p_partkey") % 25 < 5)
+          .select(col("p_partkey").as("tid"),
+            (col("p_partkey") % 2 + 2).cast("int").as("n_exons"),
+            when(col("p_partkey") % 2 === 1, "-").otherwise("+").as("strand"),
+            (col("p_partkey") % 25 + 1).cast("string").as("chr"))
+        val ex = t.withColumn("exon_idx", explode(sequence(lit(0), col("n_exons") - 1)))
+          .withColumn("e_start",
+            (lit(37) + col("exon_idx") * 2500 + (col("tid") * 53) % 2300).cast("long"))
+          .withColumn("e_len", (lit(24) + (col("tid") * 7 + col("exon_idx") * 13) % 33).cast("int"))
+          .withColumn("e_stop", col("e_start") + col("e_len") - 1)
+        val pieces = ex
+          .withColumn("from0", col("e_start") - 1)
+          .withColumn("upto0", col("e_stop"))
+          .withColumn("chunk_idx", explode(sequence(
+            (col("from0") / W).cast("int"), ((col("upto0") - 1) / W).cast("int"))))
+          .join(chunks, Seq("chr", "chunk_idx"))
+          .withColumn("cbase", col("chunk_idx").cast("long") * W)
+          .withColumn("cut_from", greatest(col("cbase"), col("from0")) - col("cbase"))
+          .withColumn("cut_upto", least(col("cbase") + W, col("upto0")) - col("cbase"))
+          .withColumn("piece",
+            expr("substring(seq, CAST(cut_from + 1 AS INT), CAST(cut_upto - cut_from AS INT))"))
+        val wp = Window.partitionBy(col("tid")).orderBy(col("exon_idx"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val exd = pieces
+          .groupBy(col("tid"), col("exon_idx"), col("chr"), col("n_exons"),
+            col("strand"), col("e_start"), col("e_stop"), col("e_len"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("chunk_idx"), col("piece")))),
+            x => x("piece")), "").as("dna"))
+          .withColumn("prior_len", coalesce(sum(col("e_len")).over(wp), lit(0)).cast("long"))
+          // consumed twice (cds + the variant interval join)
+          .localCheckpoint(true)
+        val cds = exd.groupBy(col("tid"), col("strand"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("exon_idx"), col("dna")))),
+            x => x("dna")), "").as("cds"))
+        // ---- genic status + transcript hits from ONE interval join
+        val allHits = graft.operators.RangeJoin.pointInInterval(
+            vars.select(col("assigned_id"), col("chromosome"), col("position"),
+              col("variant_type"), col("var_nuc")),
+            exd.drop("dna"), Seq("chromosome"), Seq("chr"),
+            "position", "e_start", "e_stop", binSize = 1024L)
+          .withColumn("rel_pos", col("prior_len") + (col("position") - col("e_start")) + 1)
+          .select(col("assigned_id"), col("variant_type"), col("var_nuc"),
+            col("tid"), col("rel_pos"))
+          // consumed twice (genic existence + SNV codon math)
+          .localCheckpoint(true)
+        val genic = allHits.select(col("assigned_id")).distinct()
+          .withColumn("genic_status", lit("GENIC"))
+        // ---- SNV codon math (codon-local, as q82)
+        val aa = allHits.filter(col("variant_type") === "snv")
+          .join(cds, "tid")
+          .withColumn("cds_len", length(col("cds")))
+          .withColumn("rel2", when(col("strand") === "-",
+            col("cds_len") - col("rel_pos") + 1).otherwise(col("rel_pos")))
+          .withColumn("trunc_len", expr("3 * (cds_len DIV 3)"))
+          .withColumn("triplet_error", when(col("rel2") > col("trunc_len"), "T").otherwise("F"))
+          .withColumn("aa_pos",
+            when(col("triplet_error") === "T", 0L)
+              .otherwise(expr("CAST((rel2 + 2) DIV 3 AS BIGINT)")))
+          .withColumn("ref_codon",
+            when(col("triplet_error") === "T", lit(""))
+              .when(col("strand") === "-", DnaFunctions.reverseComplement(
+                expr("substring(cds, CAST(cds_len - 3 * aa_pos + 1 AS INT), 3)")))
+              .otherwise(expr("substring(cds, CAST(3 * aa_pos - 2 AS INT), 3)")))
+          .withColumn("var_codon",
+            when(col("triplet_error") === "T", lit(""))
+              .otherwise(overlay(col("ref_codon"),
+                when(col("strand") === "-",
+                  DnaFunctions.reverseComplement(col("var_nuc")))
+                  .otherwise(col("var_nuc")),
+                (col("rel2") - col("aa_pos") * 3 + 3).cast("int"))))
+          .withColumn("ref_aa",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(DnaFunctions.translateCodon(col("ref_codon"))))
+          .withColumn("var_aa",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(DnaFunctions.translateCodon(col("var_codon"))))
+          .withColumn("syn_status",
+            when(col("triplet_error") === "T", "skipped")
+              .otherwise(graft.functions.VariantFunctions.synStatus(
+                col("ref_aa"), col("var_aa"))))
+          .select(col("assigned_id"), col("tid"), col("aa_pos"), col("syn_status"))
+        // ---- final: variant rows fanned out per transcript hit
+        vars
+          .join(genic, Seq("assigned_id"), "left_outer")
+          .withColumn("genic_status", coalesce(col("genic_status"), lit("INTERGENIC")))
+          .join(aa, Seq("assigned_id"), "left_outer")
+          .groupBy(col("variant_type"), col("genic_status"),
+            coalesce(col("syn_status"), lit("none")).as("syn_status"))
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("assigned_id")).as("n_vars"),
+            sum(col("assigned_id")).as("sum_id"),
+            sum(col("n_samples")).as("sum_samples"),
+            sum(col("n_het")).as("sum_het"),
+            coalesce(sum(col("aa_pos")), lit(0L)).as("sum_aa_pos"))
+          .orderBy(col("variant_type"), col("genic_status"), col("syn_status"))
+      },
+      Some(chainOracle)),
 
     Q("q83_log_scrape",
       (spark, dir) => {
