@@ -20,16 +20,21 @@ object VariantFunctions {
       .when(emptyish(refNuc), "ins")
       .otherwise("del")
 
-  /** Variant typing used by the fixup job, which also treats "-" as empty
-    * and classifies multi-base substitutions as "mnv".
+  /** Variant typing exactly as the fixup job re-derives it — branch
+    * order matters: ANY '-' on either side is "del" (even a '-' ref,
+    * which a loader would call an insertion), then the length
+    * comparison decides ins/del for unequal lengths, single-base pairs
+    * are "snv", and equal-length multi-base pairs are UNKNOWN (null;
+    * the reference logs "Unknown variant type!" and stores null).
     * Reference `fixup/VariantTypeFixUp.java:47-63`. */
   def variantTypeFixup(refNuc: Column, varNuc: Column): Column = {
-    val r = when(refNuc === "-", lit("")).otherwise(coalesce(refNuc, lit("")))
-    val v = when(varNuc === "-", lit("")).otherwise(coalesce(varNuc, lit("")))
-    when(length(r) === 0 && length(v) > 0, "ins")
-      .when(length(r) > 0 && length(v) === 0, "del")
+    val r = coalesce(refNuc, lit(""))
+    val v = coalesce(varNuc, lit(""))
+    when(r.contains("-") || v.contains("-"), "del")
+      .when(length(r) < length(v), "ins")
+      .when(length(r) > length(v), "del")
       .when(length(r) === 1 && length(v) === 1, "snv")
-      .otherwise("mnv")
+      .otherwise(lit(null).cast("string"))
   }
 
   /** End position rule: snv -> start+1; insertion -> start;
@@ -54,13 +59,18 @@ object VariantFunctions {
   def alleleIsValid(allele: Column): Column = allele.rlike("^[ACGTN-]*$")
 
   /** Frameshift flag: indel whose length change is not a multiple of 3.
-    * "-" counts as length 0 (fixup semantics). Returns "T"/"F" strings as
-    * stored by the reference (`VariantPostProcessing.java:536-540`,
+    * A side CONTAINING '-' contributes length 0 — the length delta is
+    * then the other side's full length, exactly the fixup's branch
+    * structure. Returns "T"/"F" strings as stored by the reference
+    * (`VariantPostProcessing.java:536-540`,
     * `fixup/FrameShiftFixUp.java:55-64`). */
   def frameshiftFlag(refNuc: Column, varNuc: Column): Column = {
-    val rl = when(refNuc.isNull || refNuc === "-", 0).otherwise(length(refNuc))
-    val vl = when(varNuc.isNull || varNuc === "-", 0).otherwise(length(varNuc))
-    when(abs(rl - vl) % 3 =!= 0, "T").otherwise("F")
+    val rl = when(refNuc.isNull, 0).otherwise(length(refNuc))
+    val vl = when(varNuc.isNull, 0).otherwise(length(varNuc))
+    val lenDiff = when(varNuc.isNotNull && varNuc.contains("-"), rl)
+      .when(refNuc.isNotNull && refNuc.contains("-"), vl)
+      .otherwise(abs(rl - vl))
+    when(lenDiff % 3 =!= 0, "T").otherwise("F")
   }
 
   /** Synonymous status: equal AAs -> "synonymous", else "nonsynonymous";

@@ -233,6 +233,46 @@ object QueriesPipeline {
        |GROUP BY chromosome ORDER BY chromosome""".stripMargin
   }
 
+  // ================= q86: fixup drift assertions ======================
+
+  private val fixupOracle: String =
+    s"""WITH v AS (SELECT vid, ref_nuc, var_nuc FROM (${Synthetic.variantsSql})),
+       |base AS (
+       |  SELECT *, CASE WHEN abs(length(ref_nuc) - length(var_nuc)) % 3 <> 0
+       |    THEN 'T' ELSE 'F' END AS fsc FROM v),
+       |stored AS (
+       |  SELECT vid, ref_nuc, var_nuc, fsc,
+       |    CASE WHEN vid % 7 = 0 THEN 'snp'
+       |         WHEN length(ref_nuc) > 0 AND length(var_nuc) > 0 THEN 'snv'
+       |         WHEN length(ref_nuc) = 0 THEN 'ins'
+       |         ELSE 'del' END AS variant_type,
+       |    CASE WHEN vid % 11 = 0 THEN (CASE WHEN fsc = 'T' THEN 'F' ELSE 'T' END)
+       |         ELSE fsc END AS frameshift
+       |  FROM base),
+       |vt AS (
+       |  SELECT *, CASE WHEN ref_nuc LIKE '%-%' OR var_nuc LIKE '%-%' THEN 'del'
+       |       WHEN length(ref_nuc) < length(var_nuc) THEN 'ins'
+       |       WHEN length(ref_nuc) > length(var_nuc) THEN 'del'
+       |       WHEN length(ref_nuc) = 1 AND length(var_nuc) = 1 THEN 'snv'
+       |       ELSE NULL END AS recomputed
+       |  FROM stored)
+       |SELECT 'variant_type' AS check_name,
+       |  (variant_type IS DISTINCT FROM recomputed) AS drifted,
+       |  coalesce(variant_type, '?') AS stored,
+       |  coalesce(recomputed, '?') AS recomputed,
+       |  count(*) AS n, CAST(sum(vid) AS BIGINT) AS sum_vid
+       |FROM vt GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT 'frameshift', (frameshift IS DISTINCT FROM fsc),
+       |  coalesce(frameshift, '?'), coalesce(fsc, '?'),
+       |  count(*), CAST(sum(vid) AS BIGINT)
+       |FROM stored GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT 'variant_type:after_fix', false, '*', '*', 0, 0
+       |UNION ALL
+       |SELECT 'frameshift:after_fix', false, '*', '*', 0, 0
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // ================= q64: positional pairing join =====================
 
   private val pairingOracle: String =
@@ -376,6 +416,63 @@ object QueriesPipeline {
     // J11/W5: equal keys on both sides pair off positionally (the
     // reference consumes first-match with iterator.remove; row_number on
     // both sides + equi-join is the deterministic distributed form).
+    // §5.5 fixups as drift-assertion jobs: a legacy-loaded VARIANT
+    // table (deliberately drifted labels baked in: every 7th vid a
+    // 'snp'-era type, every 11th a flipped frameshift flag) is WRITTEN
+    // to parquet, read back, re-derived column by column
+    // (`fixup/VariantTypeFixUp.java:47-63`,
+    // `fixup/FrameShiftFixUp.java:55-64`), drift reported per
+    // (stored, recomputed) pair, then the fix is applied, re-written,
+    // and re-checked — the after_fix rows assert 0 remaining drift
+    // against the oracle's literal zeros. Map-only at any scale: the
+    // re-derivation is a projection; only the report aggregates.
+    Q("q86_fixup_drift",
+      (spark, dir) => {
+        import graft.operators.Fixup
+        val fsc = VariantFunctions.frameshiftFlag(col("ref_nuc"), col("var_nuc"))
+        val stored0 = Synthetic.variants(spark, dir)
+          .select(col("vid"), col("ref_nuc"), col("var_nuc"))
+          .withColumn("variant_type",
+            when(col("vid") % 7 === 0, "snp")
+              .otherwise(VariantFunctions.variantType(col("ref_nuc"), col("var_nuc"))))
+          .withColumn("frameshift",
+            when(col("vid") % 11 === 0,
+              when(fsc === "T", "F").otherwise("T")).otherwise(fsc))
+        val path = "/root/repo/tmp/filegate/fixup_variants"
+        stored0.write.mode("overwrite").parquet(path)
+        val stored = spark.read.parquet(path)
+        def report(name: String, d: org.apache.spark.sql.DataFrame,
+                   storedCol: String) =
+          d.groupBy(lit(name).as("check_name"), col("drifted"),
+              coalesce(col(storedCol), lit("?")).as("stored"),
+              coalesce(col("recomputed"), lit("?")).as("recomputed"))
+            .agg(count(lit(1)).as("n"), sum(col("vid")).as("sum_vid"))
+        def afterFix(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.filter(col("drifted")).agg(count(lit(1)).as("n"))
+            .select(lit(name).as("check_name"), lit(false).as("drifted"),
+              lit("*").as("stored"), lit("*").as("recomputed"),
+              col("n"), lit(0L).as("sum_vid"))
+        val vt = Fixup.variantTypeDrift(stored)
+        val fs = Fixup.frameshiftDrift(stored)
+        // fix, write the corrected table, read back, re-assert
+        val fixedPath = s"$path-fixed"
+        Fixup.applyFix(
+            Fixup.applyFix(stored, "variant_type",
+              VariantFunctions.variantTypeFixup(col("ref_nuc"), col("var_nuc"))),
+            "frameshift", fsc)
+          .write.mode("overwrite").parquet(fixedPath)
+        val fixed = spark.read.parquet(fixedPath)
+        report("variant_type", vt, "variant_type")
+          .unionByName(report("frameshift", fs, "frameshift"))
+          .unionByName(afterFix("variant_type:after_fix",
+            Fixup.variantTypeDrift(fixed)))
+          .unionByName(afterFix("frameshift:after_fix",
+            Fixup.frameshiftDrift(fixed)))
+          .orderBy(col("check_name"), col("drifted"), col("stored"),
+            col("recomputed"))
+      },
+      Some(fixupOracle)),
+
     Q("q64_pairing_join",
       (spark, dir) => {
         val li = table(spark, dir, "lineitem")
@@ -599,7 +696,11 @@ object QueriesPipeline {
     //    counting) — a count-over-rgd_id window, one shuffle;
     //  - existence join against genomic_elements (the reference's
     //    comma join selects no ge columns) — left_semi, so duplicate
-    //    element rows can't fan out the variant side;
+    //    element rows can't fan out the variant side. Deliberate
+    //    deviation: the reference's inner join DOES emit a duplicate
+    //    VCF line per duplicate ge row (the synthetic elements table
+    //    adds a second row for every 5th rgd_id); that fan-out is a
+    //    join artifact, not intent, and is not reproduced here;
     //  - nucleotide QC (`qcVarNucAndRefNuc:236-268`): ref/var each
     //    non-empty and either '-' or ^[ACGTN]+$;
     //  - clinvar_id backfill (J12): left join to CLINVAR-sourced

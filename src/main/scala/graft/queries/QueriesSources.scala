@@ -158,7 +158,10 @@ object QueriesSources {
         val prob = (i % 64).toDouble / 64.0 // binary-exact → exact sums
         val byName = Map(
           "o_acc" -> ("  " + prot), // space-padded: the reader must trim
-          "o_pos" -> pos,
+          // every 17th o_pos is zero-padded: the pairing must normalize
+          // positions numerically ('042' == '42'), as the reference's
+          // Integer.parseInt round-trip does
+          "o_pos" -> (if (i % 17 == 0) "0" + pos else pos),
           "o_aa1" -> o1, "o_aa2" -> o2,
           "rsid" -> ("rs" + (500000 + i)), // monotone == file order
           "acc" -> prot, "pos" -> pos,
@@ -190,7 +193,7 @@ object QueriesSources {
        |    auto_detect=false, null_padding=true, columns=$rcols)
        |  WHERE o_acc NOT LIKE '#%'
        |), res AS (
-       |  SELECT trim(o_acc) AS r_acc, trim(o_pos) AS r_pos,
+       |  SELECT trim(o_acc) AS r_acc, TRY_CAST(trim(o_pos) AS BIGINT) AS r_pos,
        |         trim(o_aa1) AS r_aa1, trim(o_aa2) AS r_aa2,
        |         trim(rsid) AS rsid, trim(prediction) AS prediction,
        |         CAST(trim(pph2_prob) AS DOUBLE) AS pph2_prob
@@ -202,9 +205,9 @@ object QueriesSources {
        |  FROM res
        |), inf AS (
        |  SELECT CAST(variant_id AS BIGINT) AS variant_id, gene_symbol,
-       |         protein_acc_id, i_pos, ref_aa, var_aa,
+       |         protein_acc_id, TRY_CAST(i_pos AS BIGINT) AS i_pos, ref_aa, var_aa,
        |         row_number() OVER (
-       |           PARTITION BY protein_acc_id, i_pos, ref_aa, var_aa
+       |           PARTITION BY protein_acc_id, TRY_CAST(i_pos AS BIGINT), ref_aa, var_aa
        |           ORDER BY CAST(variant_id AS BIGINT)) AS rn
        |  FROM read_csv('$PolyphenInfoPath', delim='$Tab', header=false,
        |    auto_detect=false, null_padding=true, columns=$icols)
@@ -216,7 +219,18 @@ object QueriesSources {
        |  CAST(sum(variant_id) AS BIGINT) AS sum_vid
        |FROM rn_res JOIN inf ON r_acc = protein_acc_id AND r_pos = i_pos
        |  AND r_aa1 = ref_aa AND r_aa2 = var_aa AND rn_res.rn = inf.rn
-       |GROUP BY prediction ORDER BY prediction""".stripMargin
+       |GROUP BY prediction
+       |UNION ALL
+       |SELECT '__unmatched' AS prediction, count(*) AS n,
+       |  round(CAST(0 AS DOUBLE), 6) AS sum_prob,
+       |  CAST(count(DISTINCT u.r_acc) AS BIGINT) AS n_genes,
+       |  CAST(0 AS BIGINT) AS sum_vid
+       |FROM (
+       |  SELECT r.r_acc FROM rn_res r LEFT JOIN inf i
+       |    ON r.r_acc = i.protein_acc_id AND r.r_pos = i.i_pos
+       |    AND r.r_aa1 = i.ref_aa AND r.r_aa2 = i.var_aa AND r.rn = i.rn
+       |  WHERE i.protein_acc_id IS NULL) u
+       |ORDER BY prediction""".stripMargin
   }
 
   // ---------------------------------------------------------------- q83
@@ -452,6 +466,48 @@ object QueriesSources {
        |FROM base GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q85
+  // K6/O1: sorted VCF writer (`ClinVar2Vcf.sortInMemory:148-202` +
+  // `writeVcfLine:270-310` — the reference's only ordered file sink:
+  // whole-file in-memory sort by chr asc, numeric pos, case-insensitive
+  // id, header block on top). Gate: Vcf.writeSorted produces the file;
+  // Spark reads it back in line order (zipWithIndex — deterministic for
+  // text input splits); the oracle reconstructs the EXPECTED byte
+  // content independently from the same synthetic rows. Full-content
+  // hash equality fails on any sort, tie-break, header-placement or
+  // formatting break. Mixed-case ids + (chr,pos) collisions make the
+  // case-insensitive tie-break load-bearing.
+
+  private val SortedVcfPath = s"$FixtureDir/sorted_vcf"
+  private val SortedVcfHeaders = Seq(
+    "##fileformat=VCFv4.2",
+    "##source=graft-sortgate",
+    Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO").mkString("\t"))
+
+  private val sortedVcfOracle: String = {
+    val headerExpr = SortedVcfHeaders
+      .map(h => "'" + h.replace("\t", "' || chr(9) || '") + "'")
+      .mkString(" || chr(10) || ")
+    s"""WITH v AS (SELECT * FROM (${Synthetic.variantsSql}) WHERE kind >= 2),
+       |lines AS (
+       |  SELECT chromosome AS chrom,
+       |    CAST(start_pos % 1000 + 1 AS BIGINT) AS pos,
+       |    (CASE WHEN vid % 2 = 0 THEN 'rcv' ELSE 'RCV' END)
+       |      || CAST(vid AS VARCHAR) AS id,
+       |    ref_nuc AS ref, var_nuc AS var
+       |  FROM v),
+       |data AS (
+       |  SELECT chrom || chr(9) || CAST(pos AS VARCHAR) || chr(9) || id
+       |      || chr(9) || ref || chr(9) || var || chr(9) || '.' || chr(9)
+       |      || '.' || chr(9) || 'SRC=graft' AS line,
+       |    chrom, pos, lower(id) AS lid
+       |  FROM lines)
+       |SELECT $headerExpr || chr(10)
+       |    || string_agg(line, chr(10) ORDER BY chrom, pos, lid) AS content,
+       |  count(*) + ${SortedVcfHeaders.size} AS n_lines
+       |FROM data""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q78_vcf_file_read",
@@ -512,15 +568,48 @@ object QueriesSources {
         val res = Polyphen.read(spark, PolyphenPath)
           .filter(!Polyphen.swappedAA)
         val inf = Polyphen.readInfo(spark, PolyphenInfoPath)
-        Polyphen.pairWithInfo(res, inf, col("rsid"), col("variant_id"))
+        val matched = Polyphen.pairWithInfo(res, inf, col("rsid"), col("variant_id"))
           .groupBy(col("prediction"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("pph2_prob").cast("double")), 6).as("sum_prob"),
             countDistinct(col("gene_symbol")).as("n_genes"),
             sum(col("variant_id")).as("sum_vid"))
-          .orderBy(col("prediction"))
+        // K9 QC row: the reference counts results that pair with no
+        // info line as errors (`PolyphenLoader.java:216-230`)
+        val qc = Polyphen.unmatchedResults(res, inf, col("rsid"), col("variant_id"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_acc")).as("n_genes"))
+          .select(lit("__unmatched").as("prediction"), col("n"),
+            lit(0.0).as("sum_prob"), col("n_genes"), lit(0L).as("sum_vid"))
+        matched.unionByName(qc).orderBy(col("prediction"))
       },
       Some(polyphenOracle)),
+
+    Q("q85_vcf_sorted_write",
+      (spark, dir) => {
+        import spark.implicits._
+        val lines = Synthetic.variants(spark, dir)
+          .filter(col("kind") >= 2)
+          .select(col("chromosome").as("chrom"),
+            (col("start_pos") % 1000 + 1).cast("long").as("pos"),
+            concat(when(col("vid") % 2 === 0, "rcv").otherwise("RCV"),
+              col("vid").cast("string")).as("id"),
+            col("ref_nuc").as("ref"), col("var_nuc").as("var"))
+          .withColumn("line", concat_ws("\t",
+            col("chrom"), col("pos").cast("string"), col("id"), col("ref"),
+            col("var"), lit("."), lit("."), lit("SRC=graft")))
+        Vcf.writeSorted(spark, lines, SortedVcfHeaders, SortedVcfPath)
+        // read the PRODUCED file back in physical line order
+        // (zipWithIndex: splits ordered by offset, lines by position)
+        val read = spark.sparkContext.textFile(SortedVcfPath)
+          .zipWithIndex.toDF("line", "idx")
+        read.agg(
+          array_join(transform(
+            sort_array(collect_list(struct(col("idx"), col("line")))),
+            x => x("line")), "\n").as("content"),
+          count(lit(1)).as("n_lines"))
+      },
+      Some(sortedVcfOracle)),
 
     Q("q84_pipeline_chain",
       (spark, dir) => {

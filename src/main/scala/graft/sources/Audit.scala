@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * contention, and the (component, event_date) pair plus the sink's
   * own file identity already make rows distinguishable; a DB sink
   * would use an identity column (`Jdbc.stageForMerge` pattern).
+  *
+  * Deliberate deviation: the reference binds its two string args
+  * SWAPPED — `su.update(new Object[]{msg, process})` against params
+  * (SYSTEM_COMPONENT, STRING_VALUE), so in its output SYSTEM_COMPONENT
+  * holds the message and STRING_VALUE the component. This sink
+  * implements the evident intent (component -> system_component,
+  * message -> string_value) and therefore does NOT byte-match the
+  * reference's column placement.
   */
 object Audit {
 

@@ -106,29 +106,55 @@ object Polyphen {
     * `PolyphenLoader.java:171-180`). */
   def swappedAA: Column = col("o_aa1") === col("aa2") && col("o_aa2") === col("aa1")
 
+  /** Rank both sides for positional pairing. Positions are normalized
+    * NUMERICALLY (`try_cast` to BIGINT): the reference round-trips
+    * `o_pos` through `Integer.parseInt`/`toString` before matching
+    * (`PolyphenLoader.java:200-214`), so `042` pairs with `42`.
+    * Deliberate deviation: a non-numeric position *throws* in the
+    * reference; here it casts to null, never pairs (null != null in the
+    * join), and surfaces through [[unmatchedResults]] instead. */
+  private def ranked(results: DataFrame, info: DataFrame,
+                     resultOrder: Column, infoOrder: Column): (DataFrame, DataFrame, Column) = {
+    val rw = Window.partitionBy(col("o_acc"), col("__rpos"), col("o_aa1"), col("o_aa2"))
+      .orderBy(resultOrder)
+    val iw = Window.partitionBy(col("protein_acc_id"), col("__ipos"), col("ref_aa"), col("var_aa"))
+      .orderBy(infoOrder)
+    val r = results.withColumn("__rpos", expr("try_cast(o_pos AS BIGINT)"))
+      .withColumn("rn", row_number().over(rw))
+    val i = info.withColumn("__ipos", expr("try_cast(i_pos AS BIGINT)"))
+      .withColumn("rn", row_number().over(iw))
+    val cond = col("o_acc") === col("protein_acc_id") &&
+      col("__rpos") === col("__ipos") &&
+      col("o_aa1") === col("ref_aa") &&
+      col("o_aa2") === col("var_aa") &&
+      r("rn") === i("rn")
+    (r, i, cond)
+  }
+
   /** J11/W5: pair results with info lines on
-    * (protein_acc_id, pos, ref_aa, var_aa), duplicates consumed
+    * (protein_acc_id, numeric pos, ref_aa, var_aa), duplicates consumed
     * positionally in file order (`extractInfo:321-343`). `resultOrder` /
-    * `infoOrder` are deterministic in-file orderings (the fixture bakes
-    * monotone ids; a production reader would use
-    * `monotonically_increasing_id` over a single ordered file split).
+    * `infoOrder` must be genuine in-file order keys — an explicit
+    * monotone column (as the q80 fixture bakes into rsid/variant_id) or
+    * a per-file line index from a single-split read.
+    * `monotonically_increasing_id` alone is NOT one: it is only
+    * monotone within a partition, so a multi-split read would not
+    * reproduce global file line order.
     * Returns matched rows: all result columns + info enrichment. */
   def pairWithInfo(results: DataFrame, info: DataFrame,
                    resultOrder: Column, infoOrder: Column,
                    joinType: String = "inner"): DataFrame = {
-    val rw = Window.partitionBy(col("o_acc"), col("o_pos"), col("o_aa1"), col("o_aa2"))
-      .orderBy(resultOrder)
-    val iw = Window.partitionBy(col("protein_acc_id"), col("i_pos"), col("ref_aa"), col("var_aa"))
-      .orderBy(infoOrder)
-    val r = results.withColumn("rn", row_number().over(rw))
-    val i = info.withColumn("rn", row_number().over(iw))
-    r.join(i,
-      col("o_acc") === col("protein_acc_id") &&
-        col("o_pos") === col("i_pos") &&
-        col("o_aa1") === col("ref_aa") &&
-        col("o_aa2") === col("var_aa") &&
-        r("rn") === i("rn"),
-      joinType)
-      .drop("rn")
+    val (r, i, cond) = ranked(results, info, resultOrder, infoOrder)
+    r.join(i, cond, joinType).drop("rn", "__rpos", "__ipos")
+  }
+
+  /** K9 QC side: results that fail to pair with any info line — the
+    * reference counts and logs these as errors
+    * (`PolyphenLoader.java:216-230`) rather than silently dropping
+    * them. Anti-join twin of [[pairWithInfo]]. */
+  def unmatchedResults(results: DataFrame, info: DataFrame,
+                       resultOrder: Column, infoOrder: Column): DataFrame = {
+    val (r, i, cond) = ranked(results, info, resultOrder, infoOrder)
+    r.join(i, cond, "left_anti").drop("rn", "__rpos")
   }
 }

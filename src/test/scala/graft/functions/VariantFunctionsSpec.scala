@@ -14,12 +14,16 @@ class VariantFunctionsSpec extends SparkSpec {
     assert(rows.toSeq == Seq("snv", "ins", "del", "snv"))
   }
 
-  test("variantTypeFixup treats '-' as empty and multi-base as mnv") {
-    val rows = Seq(("-", "AC"), ("AC", "-"), ("A", "C"), ("AC", "GT"))
+  test("variantTypeFixup follows the reference's branch order exactly") {
+    // '-' anywhere wins (del, even a '-' ref); then length comparison;
+    // 1/1 snv; equal-length multi-base is unknown -> null
+    val rows = Seq(("-", "AC"), ("AC", "-"), ("A", "C"), ("AC", "GT"),
+        ("A", "ACG"), ("ACG", "A"), ("", "AC"), ("AC", ""))
       .toDF("ref", "var")
       .select(VariantFunctions.variantTypeFixup($"ref", $"var").as("t"))
       .collect().map(_.getString(0))
-    assert(rows.toSeq == Seq("ins", "del", "snv", "mnv"))
+    assert(rows.toSeq == Seq("del", "del", "snv", null,
+      "ins", "del", "ins", "del"))
   }
 
   test("endPos: snv start+1, ins start, del start+len(ref)") {

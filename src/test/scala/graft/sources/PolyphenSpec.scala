@@ -81,6 +81,41 @@ class PolyphenSpec extends SparkSpec {
     assert(paired == Set(("rs1", 77L)))
   }
 
+  test("pairWithInfo normalizes positions numerically ('042' pairs with '42')") {
+    // the reference round-trips o_pos through Integer.parseInt before
+    // matching (`PolyphenLoader.java:200-214`); a non-numeric position
+    // unpairs instead of throwing (deliberate deviation, doc'd)
+    val results = Seq(
+      ("NP_1", "042", "A", "G", "rs1"),
+      ("NP_2", "xx", "C", "T", "rs2")
+    ).toDF("o_acc", "o_pos", "o_aa1", "o_aa2", "rsid")
+    val info = Seq(
+      (10L, "NP_1", "42", "A", "G"),
+      (20L, "NP_2", "7", "C", "T")
+    ).toDF("variant_id", "protein_acc_id", "i_pos", "ref_aa", "var_aa")
+    val paired = Polyphen.pairWithInfo(results, info, col("rsid"), col("variant_id"))
+      .select(col("rsid"), col("variant_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(paired == Set(("rs1", 10L)))
+  }
+
+  test("unmatchedResults surfaces exactly the results pairWithInfo drops") {
+    val results = Seq(
+      ("NP_1", "5", "A", "G", "rs1"),
+      ("NP_1", "5", "A", "G", "rs2"), // second duplicate: no info partner
+      ("NP_9", "8", "C", "T", "rs3")  // key absent from info entirely
+    ).toDF("o_acc", "o_pos", "o_aa1", "o_aa2", "rsid")
+    val info = Seq(
+      (77L, "NP_1", "5", "A", "G")
+    ).toDF("variant_id", "protein_acc_id", "i_pos", "ref_aa", "var_aa")
+    val un = Polyphen.unmatchedResults(results, info, col("rsid"), col("variant_id"))
+    assert(un.select(col("rsid")).collect().map(_.getString(0)).toSet
+      == Set("rs2", "rs3"))
+    // matched + unmatched partition the result rows
+    val m = Polyphen.pairWithInfo(results, info, col("rsid"), col("variant_id"))
+    assert(m.count() + un.count() == 3)
+  }
+
   test("scrapeMissingProteins extracts the distinct acc set, prefix-exact") {
     val dir = tmp("pph-log")
     java.nio.file.Files.writeString(
