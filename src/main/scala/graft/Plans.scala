@@ -8,8 +8,13 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status",
-        "q44_knn_bruteforce", "q43_dedup_ngram_jaccard", "q53_knn_ivf")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status",
+        "q44_knn_bruteforce", "q43_dedup_ngram_jaccard", "q53_knn_ivf",
+        "q40_dedup_exact", "q41_dedup_minhash_lsh", "q63_dedup_upsert",
+        "q82_postprocess_fasta", "q84_pipeline_chain")
+    for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -36,9 +36,17 @@ object QueriesStreaming {
         val schema = spark.read.parquet(s"$dir/events.parquet").schema
         // the file source wants a directory; select just the events
         // table out of the shared sf directory with a glob filter
-        val ev = spark.readStream.schema(schema)
+        val raw = spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // type-adaptive like queries.table(): files written with real
+        // micro/millisecond timestamps need no conversion
+        val ev = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
         val counts = graft.streaming.StreamingOps.windowedCounts(
           ev, "ts", "event_type", "1 hour", "30 minutes")
         val sink = "q17_stream_windowed_sink"

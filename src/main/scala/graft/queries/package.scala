@@ -12,15 +12,27 @@ package object queries {
       oracle: Option[String])
 
   /** Read one test table (parquet) from the scale-factor directory.
-    * `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark reads
-    * only as a long (nanosAsLong); convert to a microsecond timestamp
-    * (session TZ is UTC, matching DuckDB's naive rendering). */
+    * The driver's `events.ts` is TIMESTAMP(NANOS) in the parquet, which
+    * Spark reads only as a long (nanosAsLong); convert to a microsecond
+    * timestamp (session TZ is UTC, matching DuckDB's naive rendering).
+    * Type-adaptive so the same reader also accepts files whose writer
+    * already used micro/millisecond timestamps (e.g. the sweep's
+    * scaled-up copies). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session TZ is UTC, so NTZ→LTZ is value-identical; the LTZ
+          // type is what unix_micros/watermarks expect downstream
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
