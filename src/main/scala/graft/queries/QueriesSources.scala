@@ -782,5 +782,54 @@ object QueriesSources {
             max(col("protein_acc_id")).as("last_acc"))
           .orderBy(col("in_info"))
       },
-      Some(logOracle)))
+      Some(logOracle)),
+
+    // ---------------------------------------------------------------- q87
+    // K10: the audit sink through the gate. The reference appends one
+    // SYSTEM_LOG row per pipeline event with the event's record count
+    // (`VariantProcessingBase.insertSystemLogMessage:64-75`, called from
+    // each run_*.sh stage). Here three stage events log their counts —
+    // the counts are data-derived (the synthetic variants table), so a
+    // broken sink OR a broken count breaks the hash. The scalar
+    // `.count()`s are the audited aggregates themselves (the reference
+    // logs exactly such counts); the audit dir is cleared per run so
+    // the append-mode sink yields a deterministic table. event_date is
+    // excluded from the gate (wall-clock, like the reference's SYSDATE).
+    Q("q87_audit_log",
+      (spark, dir) => {
+        val path = s"$FixtureDir/audit_log"
+        val d = new java.io.File(path)
+        if (d.exists()) {
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
+        val v = Synthetic.variants(spark, dir)
+        val converted = v.count()
+        val loaded = v.select(col("chromosome"), col("start_pos"),
+          col("ref_nuc"), col("var_nuc")).distinct().count()
+        val snvs = v.filter(col("kind") >= 2).count()
+        graft.sources.Audit.logMessage(spark, path,
+          "vcf-converter", "rows converted", converted.toDouble)
+        graft.sources.Audit.logMessage(spark, path,
+          "variant-loader", "distinct variants loaded", loaded.toDouble)
+        graft.sources.Audit.logMessage(spark, path,
+          "variant-postprocessing", "snv rows annotated", snvs.toDouble)
+        graft.sources.Audit.read(spark, path)
+          .select(col("system_component"), col("log_level"),
+            col("string_value"), col("float_value").cast("long").as("n"))
+          .orderBy(col("system_component"))
+      },
+      Some {
+        s"""WITH v AS (${Synthetic.variantsSql})
+           |SELECT * FROM (
+           |  SELECT 'vcf-converter' AS system_component, 'Info' AS log_level,
+           |    'rows converted' AS string_value, count(*) AS n FROM v
+           |  UNION ALL
+           |  SELECT 'variant-loader', 'Info', 'distinct variants loaded',
+           |    count(*) FROM (SELECT DISTINCT chromosome, start_pos,
+           |      ref_nuc, var_nuc FROM v)
+           |  UNION ALL
+           |  SELECT 'variant-postprocessing', 'Info', 'snv rows annotated',
+           |    count(*) FROM v WHERE kind >= 2)
+           |ORDER BY system_component""".stripMargin
+      }))
 }
