@@ -994,6 +994,128 @@ object QueriesLlm {
           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
           |FROM documents
           |WHERE doc_id % 5 = 0
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // -- The dedup ladder composed as ONE production pipeline (the
+    // training-data twin of q84's chained genomic flow): corpus with
+    // injected exact copies -> exact dedup (fingerprint shuffle key,
+    // min-id canonical, q40's shape) -> MinHash+LSH candidate pairs
+    // with inline bitmap-Jaccard verify over the survivors (q41's
+    // shape) -> connected components (q52's operator) -> canonical
+    // selection (cluster minimum) -> per-language retention rollup.
+    // 100 TB: stage boundaries are the two localCheckpoints (exact
+    // survivors, signature table) — each stage's output is read once
+    // by the next; every join is a shuffled/AQE equi-join; nothing
+    // corpus-sized broadcasts. This is the composition a real corpus
+    // clean actually runs, so it's gated end to end as one artifact.
+    Q("q88_dedup_pipeline",
+      (spark, dir) => {
+        val d = table(spark, dir, "documents").select("doc_id", "lang", "text")
+        val raw = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        // stage 1: exact dedup, canonical = min doc_id per (lang, text)
+        val exact = raw
+          .withColumn("fp", xxhash64(col("text")))
+          .repartition(col("lang"), col("fp"))
+          .groupBy(col("lang"), col("fp"), col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+          // consumed by the signature build AND the final rollup
+          .localCheckpoint(true)
+        // stage 2: LSH candidates + inline verify over exact survivors
+        val sh = exact.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+        val sig = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
+          .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
+          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+          .localCheckpoint(true)
+        val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
+          posexplode(array((0 until Bands).map(b =>
+            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              sizeRatioOk(col("a.sz"), col("b.sz")))
+          .filter(graft.operators.SetSimJoin.jaccardX1000(
+            col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")) >= JaccThreshold)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        // stages 3+4: cluster, drop non-canonical members, roll up
+        val removed = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b")
+          .filter(col("node") =!= col("comp"))
+          .select(col("node").as("doc_id"), lit(1).as("near_dup"))
+        exact.join(removed, Seq("doc_id"), "left_outer")
+          .groupBy(col("lang"))
+          .agg(sum(col("copies")).as("n_input_rows"),
+            count(lit(1)).as("n_exact_unique"),
+            sum(when(col("near_dup").isNotNull, 1L).otherwise(0L)).as("n_near_removed"),
+            sum(when(col("near_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("near_dup").isNull, col("doc_id"))).as("sum_kept_ids"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val sigCols = (0 until K).map(i =>
+          s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
+          .mkString(",\n    ")
+        val bandSelects = (0 until Bands).map { b =>
+          val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+            .reduce((acc, m) => s"($acc * 31 + $m)")
+          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigt"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE all_docs AS (
+           |  SELECT doc_id, lang, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 7 = 0),
+           |ex AS (
+           |  SELECT lang, text, min(doc_id) AS doc_id, count(*) AS copies
+           |  FROM all_docs GROUP BY lang, text),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+           |  FROM (SELECT doc_id, lower(text) AS t FROM ex)),
+           |shl AS (
+           |  SELECT doc_id, list_transform(sh, s ->
+           |    CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+           |          + ascii(substr(s, 3, 1))) % $P AS BIGINT)) AS hl
+           |  FROM sh),
+           |sigt AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shl),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT c.doc_a, c.doc_b,
+           |      (len(list_intersect(x.sh, y.sh)) * 1000)
+           |        // len(list_distinct(list_concat(x.sh, y.sh))) AS jacc_x1000
+           |    FROM cand c
+           |    JOIN sh x ON x.doc_id = c.doc_a
+           |    JOIN sh y ON y.doc_id = c.doc_b)
+           |  WHERE jacc_x1000 >= $JaccThreshold),
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+           |removed AS (SELECT node AS doc_id FROM comp WHERE node <> comp)
+           |SELECT e.lang,
+           |  CAST(sum(e.copies) AS BIGINT) AS n_input_rows,
+           |  count(*) AS n_exact_unique,
+           |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_removed,
+           |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN e.doc_id END) AS BIGINT) AS sum_kept_ids
+           |FROM ex e LEFT JOIN removed r ON e.doc_id = r.doc_id
+           |GROUP BY e.lang ORDER BY e.lang""".stripMargin
+      })
   )
 }
