@@ -971,6 +971,123 @@ object QueriesPipeline {
            |  CAST(sum(vid) AS BIGINT) AS sum_vid
            |FROM aa
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      }),
+
+    // ============ q90: cross-chromosome exon patch (J16) ==============
+    // `VariantPostProcessing.getProperChunk:1281-1300`: an exon whose
+    // transcript has a map row on a DIFFERENT chromosome at the SAME
+    // start takes its DNA from that row's (chr, start, stop); same-chr
+    // map rows are skipped (they do not shadow a cross-chr row), and
+    // with no cross-chr row the local interval stands. Gate fixture:
+    // every 3rd transcript's exon 1 carries a cross-chr map row (next
+    // chromosome, stop stretched by tid%5); every 2nd carries a same-chr
+    // DECOY row at the same start — if the operator ever selects a
+    // decoy, the patched flag, source chromosome, fetched DNA and its
+    // fingerprint all diverge. DNA comes through the same chunk
+    // equi-join as q82 (never a genome broadcast).
+    Q("q90_cross_chr_patch",
+      (spark, dir) => {
+        val W = 128
+        val bases = typedlit(Seq("A", "C", "G", "T"))
+        val chrs = table(spark, dir, "nation").select((col("n_nationkey") + 1).as("c"))
+        val headers = chrs.select((col("c") * 10000).as("line_id"),
+          concat(lit(">chr"), col("c")).as("line"))
+        val seqLines = chrs.withColumn("i", explode(sequence(lit(1), lit(20))))
+          .select((col("c") * 10000 + col("i")).as("line_id"),
+            array_join(transform(sequence(lit(1), lit(40)),
+              j => element_at(bases,
+                ((col("c") * 7 + col("i") * 3 + j) % 4 + 1).cast("int"))), "").as("line"))
+        val chunks = graft.sources.Fasta.toChunks(
+          graft.sources.Fasta.parseLines(headers.unionByName(seqLines)), width = W)
+          .withColumnRenamed("chr", "c_chr")
+          .withColumnRenamed("chunk_idx", "c_idx")
+          .localCheckpoint(true)
+        val t = table(spark, dir, "part").select(
+          col("p_partkey").as("tid"),
+          (col("p_partkey") % 2 + 2).cast("int").as("n_exons"),
+          (col("p_partkey") % 25 + 1).as("chrn"))
+        val ex = t.withColumn("exon_idx", explode(sequence(lit(0), col("n_exons") - 1)))
+          .withColumn("start",
+            (lit(37) + col("exon_idx") * 250 + (col("tid") * 53) % 190).cast("long"))
+          .withColumn("e_len", (lit(24) + (col("tid") * 7 + col("exon_idx") * 13) % 33).cast("int"))
+          .withColumn("stop", col("start") + col("e_len") - 1)
+          .withColumn("chr", concat(lit("chr"), col("chrn")))
+        val crossRows = ex.filter(col("tid") % 3 === 0 && col("exon_idx") === 1)
+          .select(col("tid"),
+            concat(lit("chr"), (col("chrn") % 25) + 1).as("m_chr"),
+            col("start").as("m_start"),
+            (col("stop") + col("tid") % 5).as("m_stop"))
+        val decoys = ex.filter(col("tid") % 2 === 0 && col("exon_idx") === 1)
+          .select(col("tid"), col("chr").as("m_chr"),
+            col("start").as("m_start"), (col("start") + 9).as("m_stop"))
+        val patched = graft.sources.Fasta.patchIntervals(
+          ex.select("tid", "exon_idx", "chr", "start", "stop"),
+          crossRows.unionByName(decoys), "tid")
+        val dna = patched
+          .withColumn("from0", col("src_start") - 1)
+          .withColumn("upto0", col("src_stop"))
+          .withColumn("pc_idx", explode(sequence(
+            (col("from0") / W).cast("int"), ((col("upto0") - 1) / W).cast("int"))))
+          .join(chunks, col("src_chr") === col("c_chr") &&
+            col("pc_idx") === col("c_idx"))
+          .withColumn("cbase", col("pc_idx").cast("long") * W)
+          .withColumn("cut_from", greatest(col("cbase"), col("from0")) - col("cbase"))
+          .withColumn("cut_upto", least(col("cbase") + W, col("upto0")) - col("cbase"))
+          .withColumn("piece",
+            expr("substring(seq, CAST(cut_from + 1 AS INT), CAST(cut_upto - cut_from AS INT))"))
+          .groupBy(col("tid"), col("exon_idx"), col("patched"), col("src_chr"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pc_idx"), col("piece")))),
+            x => x("piece")), "").as("dna"))
+        dna.groupBy(col("patched"), col("src_chr"))
+          .agg(count(lit(1)).as("n_exons"),
+            sum(length(col("dna")).cast("long")).as("sum_len"),
+            sum(graft.functions.TextFunctions.fingerprint(col("dna"))).as("sum_fp"))
+          .orderBy(col("patched"), col("src_chr"))
+      },
+      Some {
+        val fp = (c: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(string_split_regex($c, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+        s"""WITH chrs AS (SELECT n_nationkey + 1 AS c FROM nation),
+           |ln AS (
+           |  SELECT c, i, string_agg(ch, '' ORDER BY j) AS line
+           |  FROM (SELECT c, i, j, ['A','C','G','T'][(c*7 + i*3 + j) % 4 + 1] AS ch
+           |        FROM chrs, generate_series(1, 20) s(i), generate_series(1, 40) t(j))
+           |  GROUP BY c, i),
+           |chrseq AS (SELECT c, string_agg(line, '' ORDER BY i) AS seq FROM ln GROUP BY c),
+           |t AS (
+           |  SELECT p_partkey AS tid, CAST(p_partkey % 2 + 2 AS INT) AS n_exons,
+           |    (p_partkey % 25) + 1 AS chrn
+           |  FROM part),
+           |ex AS (
+           |  SELECT tid, chrn, exon_idx,
+           |    CAST(37 + exon_idx * 250 + (tid * 53) % 190 AS BIGINT) AS e_start,
+           |    CAST(24 + (tid * 7 + exon_idx * 13) % 33 AS INT) AS e_len
+           |  FROM t, LATERAL (SELECT unnest(generate_series(0, n_exons - 1)) AS exon_idx)),
+           |ex2 AS (SELECT *, e_start + e_len - 1 AS e_stop FROM ex),
+           |cross_m AS (
+           |  SELECT tid, (chrn % 25) + 1 AS m_chrn, e_start AS m_start,
+           |    e_stop + tid % 5 AS m_stop
+           |  FROM ex2 WHERE tid % 3 = 0 AND exon_idx = 1),
+           |patched AS (
+           |  SELECT e.tid, e.exon_idx,
+           |    m.tid IS NOT NULL AS patched,
+           |    COALESCE(m.m_chrn, e.chrn) AS src_chrn,
+           |    e.e_start AS src_start,
+           |    COALESCE(m.m_stop, e.e_stop) AS src_stop
+           |  FROM ex2 e LEFT JOIN cross_m m
+           |    ON m.tid = e.tid AND m.m_start = e.e_start),
+           |dna AS (
+           |  SELECT p.patched, 'chr' || CAST(p.src_chrn AS VARCHAR) AS src_chr,
+           |    substr(cs.seq, CAST(p.src_start AS INT),
+           |      CAST(p.src_stop - p.src_start + 1 AS INT)) AS dna
+           |  FROM patched p JOIN chrseq cs ON cs.c = p.src_chrn)
+           |SELECT patched, src_chr, count(*) AS n_exons,
+           |  CAST(sum(length(dna)) AS BIGINT) AS sum_len,
+           |  CAST(sum(${fp("dna")}) AS BIGINT) AS sum_fp
+           |FROM dna GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       })
   )
 }

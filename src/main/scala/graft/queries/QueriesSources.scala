@@ -831,5 +831,60 @@ object QueriesSources {
            |  SELECT 'variant-postprocessing', 'Info', 'snv rows annotated',
            |    count(*) FROM v WHERE kind >= 2)
            |ORDER BY system_component""".stripMargin
+      }),
+
+    // ---------------------------------------------------------------- q89
+    // K7/X15: the PolyPhen protein-FASTA input writer
+    // (`Polyphen.writeFastaFile:357-372` — 70-col wrapped sequence under
+    // a `>acc` header, one file, records in accession order) through the
+    // gate. Round trip: Polyphen.writeFasta produces the file from
+    // synthetic proteins; the Fasta source parses it back; sequences are
+    // reassembled from the wrapped lines. The oracle reconstructs the
+    // EXPECTED per-protein stats and full sequence independently from
+    // the same `part`-derived derivation, so a wrap, ordering, header or
+    // reassembly break fails the hash. Line-length stats make the
+    // 70-col contract load-bearing (max body line must be exactly 70
+    // for any sequence longer than the width).
+    Q("q89_polyphen_fasta_write",
+      (spark, dir) => {
+        import spark.implicits._
+        val aa = "ARNDCQEGHILKMFPSTWYV"
+        val path = s"$FixtureDir/polyphen_fasta"
+        val prot = table(spark, dir, "part")
+          .filter(col("p_partkey") % 20 === 0)
+          .selectExpr(
+            "concat('NP_', lpad(CAST(p_partkey AS STRING), 6, '0')) AS acc",
+            s"""array_join(transform(
+               |  sequence(1, CAST(40 + p_partkey % 150 AS INT)),
+               |  j -> substr('$aa', CAST((p_partkey * 7 + j * 11) % 20 AS INT) + 1, 1)),
+               |  '') AS seq""".stripMargin)
+        Polyphen.writeFasta(spark, prot, path)
+        val lines = spark.sparkContext.textFile(path)
+          .zipWithIndex.toDF("line", "line_id")
+        Fasta.parseLines(lines)
+          .groupBy(col("chr").as("acc"))
+          .agg(count(lit(1)).as("n_body_lines"),
+            max(length(col("seq"))).cast("long").as("max_line_len"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("start_off"), col("seq")))),
+              x => x("seq")), "").as("sequence"))
+          .withColumn("seq_len", length(col("sequence")).cast("long"))
+          .orderBy(col("acc"))
+      },
+      Some {
+        val aa = "ARNDCQEGHILKMFPSTWYV"
+        s"""WITH prot AS (
+           |  SELECT 'NP_' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS acc,
+           |    array_to_string([substr('$aa',
+           |        CAST((p_partkey * 7 + j * 11) % 20 AS INT) + 1, 1)
+           |      FOR j IN generate_series(1, CAST(40 + p_partkey % 150 AS INT))],
+           |      '') AS seq
+           |  FROM part WHERE p_partkey % 20 = 0)
+           |SELECT acc,
+           |  CAST((length(seq) + 69) // 70 AS BIGINT) AS n_body_lines,
+           |  CAST(least(length(seq), 70) AS BIGINT) AS max_line_len,
+           |  seq AS sequence,
+           |  CAST(length(seq) AS BIGINT) AS seq_len
+           |FROM prot ORDER BY acc""".stripMargin
       }))
 }

@@ -73,6 +73,52 @@ object Fasta {
         x => x("part")), "").as("seq"))
   }
 
+  /** J16: cross-chromosome patch — re-expression of
+    * `VariantPostProcessing.getProperChunk:1281-1300`: a feature whose
+    * id has a map row on a DIFFERENT chromosome with the SAME start
+    * position takes its DNA interval from that row; otherwise the
+    * local interval stands.
+    *
+    * `features` needs (`idCol`, chr, start, stop); `mapData` needs
+    * (`idCol`, m_chr, m_start, m_stop). Output is `features` with
+    * (src_chr, src_start, src_stop, patched) — the interval the DNA
+    * fetch should use. One left-outer equi-join on (id, start) +
+    * `coalesce`; no per-row lookups (the reference calls the DB per
+    * transcript inside the exon loop).
+    *
+    * Deliberate deviation: the reference takes the FIRST matching map
+    * row in DAO return order (unordered SQL — nondeterministic when an
+    * id has several cross-chr rows at the same start); here the match
+    * is the (m_chr, m_stop)-minimal row, a deterministic choice over
+    * the same candidate set. */
+  def patchIntervals(features: DataFrame, mapData: DataFrame,
+                     idCol: String): DataFrame = {
+    // candidates collapse to one tiny sorted array per (id, start) —
+    // the chr-exclusion must evaluate against the FEATURE row's chr
+    // (a same-chr map row is skipped, it does not shadow a cross-chr
+    // one), so selection happens after the join, over the array
+    // the map-side id is renamed so the join stays unambiguous even
+    // when mapData shares lineage with features (same parent frame —
+    // Spark's self-join attribute-resolution trap)
+    val cand = mapData
+      .groupBy(col(idCol).as("__m_id"), col("m_start"))
+      .agg(sort_array(collect_list(
+        struct(col("m_chr"), col("m_stop")))).as("cands"))
+    features
+      .join(cand,
+        col(idCol) === col("__m_id") &&
+          col("start") === col("m_start"), "left_outer")
+      .drop("__m_id", "m_start")
+      .withColumn("m", expr("get(filter(cands, x -> x.m_chr != chr), 0)"))
+      .withColumn("patched", col("m").isNotNull)
+      .withColumn("src_chr",
+        when(col("patched"), col("m.m_chr")).otherwise(col("chr")))
+      .withColumn("src_start", col("start"))
+      .withColumn("src_stop",
+        when(col("patched"), col("m.m_stop")).otherwise(col("stop")))
+      .drop("cands", "m")
+  }
+
   /** Random-access substring [from, to) 0-based over the chunk table:
     * prune to covering chunks, cut, concat. Returns (chr, seq). */
   def getSequence(chunks: DataFrame, chr: String, from: Long, to: Long,

@@ -101,6 +101,22 @@ object Polyphen {
       .filter(col("protein_acc_id") =!= "")
       .distinct()
 
+  /** K7/X15: protein-FASTA input writer — re-expression of
+    * `Polyphen.writeFastaFile:357-372`: each record is a `>acc` header
+    * followed by the sequence wrapped at `width` columns; records in
+    * accession order, one output file. `proteins` must have columns
+    * (acc, seq). Order survives the coalesce because the range-sorted
+    * partitions concatenate in partition order. */
+  def writeFasta(spark: SparkSession, proteins: DataFrame, path: String,
+                 width: Int = 70): Unit =
+    proteins
+      .select(col("acc"), concat(lit(">"), col("acc"), lit("\n"),
+        graft.functions.DnaFunctions.wrapLines(col("seq"), width)).as("rec"))
+      .orderBy(col("acc"))
+      .select(col("rec"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+
   /** F12: the swapped-AA rejection predicate — true for rows that must
     * be DROPPED (`o_aa1==varAA && o_aa2==refAA`,
     * `PolyphenLoader.java:171-180`). */
