@@ -1039,7 +1039,9 @@ object QueriesLlm {
           .filter(graft.operators.SetSimJoin.jaccardX1000(
             col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")) >= JaccThreshold)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        // no distinct here: ConnectedComponents symmetrizes + distincts
+        // the edge list as its first step — a pre-distinct would be a
+        // second shuffle of the same verified-pair stream
         // stages 3+4: cluster, drop non-canonical members, roll up
         val removed = graft.operators.ConnectedComponents
           .components(pairs, "doc_a", "doc_b")

@@ -64,5 +64,70 @@ object QueriesStreaming {
           |  event_type, count(*) AS cnt
           |FROM events
           |GROUP BY 1, 2
-          |ORDER BY 1, 2""".stripMargin)))
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // K4 as a STREAM: the reference's verify-before-insert load
+    // (`VariantLoad3.saveVariants:479-589`) run as continuous ingestion
+    // — the events table split into files, streamed in 2-file
+    // micro-batches, each batch upserted into a keyed parquet store via
+    // foreachBatch + StreamingOps.upsertBatch (left_anti on user_id);
+    // then the ENTIRE stream is replayed under a fresh checkpoint and
+    // must add zero rows (at-least-once delivery -> exactly-once
+    // effect). The gate aggregates only arrival-order-independent facts
+    // (the kept key SET), so the DuckDB oracle is exact: any duplicate
+    // key in the store (idempotence break) or missing key
+    // (completeness break) fails rows/hash. 100 TB: each micro-batch is
+    // one shuffled anti-join against the store keyed by user_id — the
+    // same partitioning story as the batch upsert (q63).
+    Q("q91_stream_upsert",
+      (spark, dir) => {
+        val root = "/root/repo/tmp/streamgate"
+        val src = s"$root/src"
+        val store = s"$root/store"
+        def rmrf(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rmrf)
+          p.delete()
+        }
+        rmrf(new java.io.File(root))
+        table(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .repartition(8, col("event_id"))
+          .write.mode("overwrite").parquet(src)
+        // seed an empty store so every batch reads + anti-joins the
+        // same path (no first-batch special case)
+        spark.read.parquet(src).limit(0).write.parquet(store)
+        val schema = spark.read.parquet(src).schema
+        def pass(n: Int): Unit = {
+          val q = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(src)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt_$n")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val existing = batch.sparkSession.read.parquet(store)
+              graft.streaming.StreamingOps
+                .upsertBatch(batch, existing, Seq("user_id"))
+                .write.mode("append").parquet(store)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        pass(1) // 4 micro-batches of 2 files
+        pass(2) // full replay: every key already present, 0 inserts
+        spark.read.parquet(store)
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("user_id")).as("sum_uid"),
+            min(col("user_id")).as("min_uid"),
+            max(col("user_id")).as("max_uid"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        """SELECT user_id % 10 AS bucket, count(*) AS n_rows,
+          |  count(*) AS n_users,
+          |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+          |  min(user_id) AS min_uid, max(user_id) AS max_uid
+          |FROM (SELECT DISTINCT user_id FROM events)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
