@@ -96,4 +96,72 @@ object SetSimJoin {
     val inter = interSize(bmA, bmB)
     ((inter * 1000).cast("long") / (szA + szB - inter)).cast("long")
   }
+
+  /** The LARGE-universe regime: exact Jaccard self-join via PPJoin-style
+    * prefix filtering — no dictionary, no driver collect, no bitmap;
+    * scales to arbitrarily many distinct elements.
+    *
+    * Theorem: under any global total order of elements, two sets with
+    * J(A,B) >= t must share an element within each one's first
+    * `|X| - ceil(t*|X|) + 1` elements (else the overlap cap
+    * `|A∩B| >= t*max(|A|,|B|)` is unreachable). Ordering by ascending
+    * global frequency makes those prefixes the RAREST elements, so the
+    * candidate equi-join shuffles only rare tokens — frequent elements
+    * never generate pairs.
+    *
+    * Plan shape (all shuffled equi-joins / aggregations, 100 TB-safe):
+    *  1. element frequencies: one groupBy over exploded elements;
+    *  2. rarity-sorted element arrays: join freq back, one groupBy with
+    *     an ordered collect (per-document arrays, bounded by doc size);
+    *  3. candidates: explode each document's prefix, self-join on the
+    *     element, `idA < idB` + size-ratio cut (t*|A| <= |B|), then
+    *     distinct — dedup BEFORE verification because the exact
+    *     intersection of string arrays is the expensive step here
+    *     (opposite trade to q41's cheap bitmap popcount);
+    *  4. verify: fetch both arrays by id and compute
+    *     `|A∩B|*1000 div |A∪B| >= threshX1000` exactly.
+    *
+    * `df` must carry `idCol` and an array column `shCol` of DISTINCT
+    * elements (empty-set rows are dropped — they can't reach any
+    * positive threshold). Returns (id_a, id_b, jacc_x1000). */
+  def prefixFilterJoin(df: DataFrame, idCol: String, shCol: String,
+                       threshX1000: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(shCol).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0)
+      .localCheckpoint(true) // read by freq job, prefix build, and verify
+    val el = base.select(col("__id"), explode(col("__sh")).as("__e"))
+    val freq = el.groupBy(col("__e")).agg(count(lit(1)).as("__f"))
+    val ordered = el.join(freq, "__e")
+      .groupBy(col("__id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__f"), col("__e")))),
+        x => x("__e")).as("__osh"))
+    val pfx = base.select(col("__id"), col("__sz")).join(ordered, "__id")
+      .withColumn("__plen",
+        expr(s"CAST(__sz - CEIL(__sz * $threshX1000 / 1000.0) + 1 AS INT)"))
+      .select(col("__id"), col("__sz"),
+        explode(slice(col("__osh"), lit(1), col("__plen"))).as("__e"))
+      // consumed by BOTH sides of the candidate self-join: materialize
+      // once (the q82 lesson — an un-checkpointed consumed-twice
+      // subtree re-runs its whole pipeline per consumer, and estimated
+      // sizes downstream of it let AQE pick the wrong join sides)
+      .localCheckpoint(true)
+    val cand = pfx.select(col("__id").as("id_a"), col("__sz").as("sz_a"), col("__e"))
+      .join(pfx.select(col("__id").as("id_b"), col("__sz").as("sz_b"), col("__e")), "__e")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * threshX1000 <= col("sz_b") * 1000 &&
+        col("sz_b") * threshX1000 <= col("sz_a") * 1000)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .localCheckpoint(true) // real row count known before the verify joins
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc_x1000", expr(
+        "CAST(__i * 1000 DIV (size(sh_a) + size(sh_b) - __i) AS BIGINT)"))
+      .filter(col("jacc_x1000") >= threshX1000)
+      .select(col("id_a"), col("id_b"), col("jacc_x1000"))
+  }
 }

@@ -996,6 +996,57 @@ object QueriesLlm {
           |WHERE doc_id % 5 = 0
           |ORDER BY doc_id""".stripMargin)),
 
+    // -- The LARGE-universe exact-Jaccard regime (PPJoin-style prefix
+    // filtering, `SetSimJoin.prefixFilterJoin`): the scale path when
+    // the element universe is unbounded and the dictionary-bitmap
+    // regime (q43) is inapplicable by design. No driver collect, no
+    // broadcast: frequencies, rarity-ordered arrays, prefix-token
+    // candidate join and exact verify are all shuffled aggregations /
+    // equi-joins. The oracle is the plain quadratic form.
+    //
+    // The gate runs on a doc_id%4 subset: the template-generated test
+    // corpus has only ~900 distinct word bigrams, so its "rarest"
+    // prefix tokens still occur in hundreds of documents and candidate
+    // enumeration approaches quadratic — the exact degenerate case the
+    // SetSimJoin scaladoc assigns to the bitmap regime. The subset
+    // keeps the correctness gate (operator ≡ brute-force oracle) at
+    // catalog-friendly cost; `PrefixFilterSpec` covers the operator's
+    // pruning math independently of the corpus.
+    Q("q92_dedup_prefix_filter",
+      (spark, dir) => {
+        // elements are HASHED bigrams (the shared integer polynomial,
+        // reproduced in the oracle): long compares/intersections beat
+        // string ones throughout the pipeline — the standard
+        // hashed-shingle representation
+        val bg = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), array_distinct(
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1))))).as("sh"))
+        graft.operators.SetSimJoin.prefixFilterJoin(bg, "doc_id", "sh", 700)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH bg AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)],
+           |    s -> list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(string_split_regex(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % $P))) AS sh
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           |        FROM documents WHERE doc_id % 4 = 0)
+           |  WHERE len(t) >= 2)
+           |SELECT id_a, id_b, jacc_x1000 FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    (len(list_intersect(a.sh, b.sh)) * 1000)
+           |      // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
+           |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
+           |WHERE jacc_x1000 >= 700 ORDER BY id_a, id_b""".stripMargin)),
+
     // -- The dedup ladder composed as ONE production pipeline (the
     // training-data twin of q84's chained genomic flow): corpus with
     // injected exact copies -> exact dedup (fingerprint shuffle key,

@@ -20,6 +20,7 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard", "q44_knn_bruteforce",
     "q45_knn_lsh", "q46_dedup_embedding", "q52_dedup_clusters",
     "q53_knn_ivf", "q58_multimodal_embed", "q88_dedup_pipeline",
+    "q92_dedup_prefix_filter",
 }
 
 
