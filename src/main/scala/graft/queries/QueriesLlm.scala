@@ -1169,6 +1169,186 @@ object QueriesLlm {
            |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN e.doc_id END) AS BIGINT) AS sum_kept_ids
            |FROM ex e LEFT JOIN removed r ON e.doc_id = r.doc_id
            |GROUP BY e.lang ORDER BY e.lang""".stripMargin
-      })
+      }),
+
+    // -- Train/test contamination check: the eval-integrity gate every
+    // training-data pipeline runs before shipping a split. Re-derives
+    // q76's deterministic split, fingerprints each doc's distinct
+    // 5-token-grams (the shared integer polynomial), and equi-joins
+    // test grams against train grams — any collision is leaked eval
+    // data. 100 TB: one map-side gram explode + one shuffled equi-join
+    // on the gram hash (same shape as the LSH band join); the gram
+    // table is materialized once and filtered per side, so the corpus
+    // is fingerprinted exactly once. The two COUNT(DISTINCT)s plan as
+    // a single expand + one aggregation exchange keyed by test doc.
+    Q("q93_contamination",
+      (spark, dir) => {
+        val N = 5 // gram width: long enough that collisions mean leakage
+        val b = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100
+        val t = table(spark, dir, "documents")
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+          .filter(col("split") =!= "val")
+          .select(col("doc_id"), col("split"), TF.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) >= N)
+        val grams = t.select(col("doc_id"), col("split"),
+            explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (N - 1)),
+              i => aggregate(transform(slice(col("t"), i, lit(N)), tok => TF.polyHash(tok)),
+                lit(0L), (acc, h) => (acc * 31 + h) % P)))).as("fp"))
+          // consumed twice (test side + train side of the join)
+          .localCheckpoint(true)
+        grams.filter(col("split") === "test").as("te")
+          .join(grams.filter(col("split") === "train").as("tr"),
+            col("te.fp") === col("tr.fp"))
+          .groupBy(col("te.doc_id").as("doc_id"))
+          .agg(countDistinct(col("tr.doc_id")).as("n_train_docs"),
+            countDistinct(col("te.fp")).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM (SELECT doc_id, text,
+           |          ((doc_id * 1103515245 + 12345) % 2147483647) % 100 AS b
+           |        FROM documents)),
+           |g AS (
+           |  SELECT doc_id, split, unnest(list_distinct([
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(toks[i:i+4], tok ->
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split_regex(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |          (acc, x) -> (acc * 31 + x) % $P))),
+           |      (acc, h) -> (acc * 31 + h) % $P)
+           |    FOR i IN generate_series(1, len(toks) - 4)])) AS fp
+           |  FROM t WHERE len(toks) >= 5)
+           |SELECT te.doc_id, count(DISTINCT tr.doc_id) AS n_train_docs,
+           |  count(DISTINCT te.fp) AS n_shared_grams
+           |FROM g te JOIN g tr ON te.fp = tr.fp
+           |  AND te.split = 'test' AND tr.split = 'train'
+           |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin)),
+
+    // -- Repetition-based quality filtering (the Gopher/MassiveText
+    // rules): per doc, the top-bigram mass fraction and the
+    // duplicate-bigram mass fraction, flagged against thresholds, then
+    // rolled up per language. Deliberately NOT explode + groupBy(doc,
+    // gram): bigram counts are document-local, so they are computed
+    // entirely inside per-row higher-order expressions (distinct grams
+    // -> per-gram occurrence counts -> max / dup mass) — a map-only
+    // pass with the language rollup as the only shuffle. The per-doc
+    // O(grams^2) filter scan is bounded by document length, not corpus
+    // size, which is the right trade at 100 TB.
+    Q("q94_repetition_filter",
+      (spark, dir) => {
+        val t = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), TF.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) >= 2)
+          .withColumn("gs", transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+          .withColumn("cs", transform(array_distinct(col("gs")),
+            g => size(filter(col("gs"), x => x === g)).cast("long")))
+          .select(col("lang"),
+            array_max(col("cs")).as("top_c"),
+            size(col("gs")).cast("long").as("tot"),
+            aggregate(filter(col("cs"), c => c >= 2L), lit(0L), (a, c) => a + c)
+              .as("dup_mass"))
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("top_c") * 1000 >= col("tot") * 100, 1L).otherwise(0L))
+              .as("flagged_topbg"),
+            sum(when(col("dup_mass") * 1000 >= col("tot") * 150, 1L).otherwise(0L))
+              .as("flagged_dup"),
+            sum(col("top_c")).as("sum_top_c"),
+            sum(col("dup_mass")).as("sum_dup_mass"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, lang,
+          |    unnest([toks[i] || ' ' || toks[i+1]
+          |            FOR i IN generate_series(1, len(toks) - 1)]) AS g
+          |  FROM t WHERE len(toks) >= 2),
+          |bgc AS (SELECT doc_id, lang, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+          |perdoc AS (
+          |  SELECT doc_id, lang, max(c) AS top_c, sum(c) AS tot,
+          |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_mass
+          |  FROM bgc GROUP BY 1, 2)
+          |SELECT lang, count(*) AS docs,
+          |  CAST(sum(CASE WHEN top_c * 1000 >= tot * 100 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS flagged_topbg,
+          |  CAST(sum(CASE WHEN dup_mass * 1000 >= tot * 150 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS flagged_dup,
+          |  CAST(sum(top_c) AS BIGINT) AS sum_top_c,
+          |  CAST(sum(dup_mass) AS BIGINT) AS sum_dup_mass
+          |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- Sequence packing: assemble fixed-budget training contexts by
+    // concatenating documents in a deterministic order (the GPT-style
+    // concat-and-split packer). Packing is inherently ordered, so the
+    // packing DOMAIN must be sub-corpus-sized: documents are sharded
+    // into (lang, doc_id % 8) strata and packed independently within
+    // each — exactly how production packers parallelize (a global
+    // order would serialize the corpus through one window). Each
+    // stratum is one keyed window (running token count before the doc)
+    // and pack_id = cum_before DIV budget; the shuffle is the window's
+    // stratum repartition, nothing else.
+    Q("q95_sequence_packing",
+      (spark, dir) => {
+        val t = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+            size(TF.tokens(lower(col("text")))).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("pack_id", expr("CAST(cum_before DIV 256 AS BIGINT)"))
+          .groupBy(col("lang"), col("shard"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+          .orderBy(col("lang"), col("shard"), col("pack_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang, doc_id % 8 AS shard,
+          |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, shard, n_tok,
+          |    COALESCE(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM t)
+          |SELECT lang, shard, CAST(cum_before // 256 AS BIGINT) AS pack_id,
+          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+          |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // -- Deterministic per-stratum hash sampling (importance sampling /
+    // language rebalancing): keep a row iff the md5 hex prefix of its
+    // stable id + salt compares below the stratum's threshold string.
+    // No RNG state, no sample() nondeterminism — the kept SET is a
+    // pure function of (id, salt, rate), identical on any engine, any
+    // partitioning, any run, and new rows never perturb old decisions
+    // (the property that makes resampled corpus versions diffable).
+    // Map-only until the rollup; at 100 TB this is a full-scan filter
+    // with zero shuffle cost. Rates here downsample the dominant
+    // language (en 20%) and keep 80% of the rest.
+    Q("q96_hash_sample",
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":graft"))), 1, 4)
+            < when(col("lang") === "en", "3333").otherwise("cccc"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+          .orderBy(col("lang")),
+      Some(
+        """SELECT lang, count(*) AS kept,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <
+          |      CASE WHEN lang = 'en' THEN '3333' ELSE 'cccc' END
+          |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
