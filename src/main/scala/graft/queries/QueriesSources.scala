@@ -886,5 +886,80 @@ object QueriesSources {
            |  seq AS sequence,
            |  CAST(length(seq) AS BIGINT) AS seq_len
            |FROM prot ORDER BY acc""".stripMargin
-      }))
+      }),
+
+    // ---------------------------------------------------------------- q97
+    // Partition-pruned layout: the 100 TB table layout primitive. The
+    // corpus is written hive-partitioned by `lang`
+    // (`partitionBy(lang)`) and read back with a partition-key filter —
+    // Catalyst prunes the scan to the matching directories BEFORE
+    // listing file contents (`PartitionFilters` on the scan; at scale,
+    // the difference between touching 2/5 of the corpus and all of it).
+    // The gate's oracle reads the SAME written dataset via DuckDB's
+    // hive_partitioning, so a partition-placement bug (row in the wrong
+    // lang dir), a dropped partition, or a value-mangled partition key
+    // fails the hash — not just the plan shape, which
+    // `PartitionPruneSpec` asserts separately.
+    Q("q97_partitioned_prune",
+      (spark, dir) => {
+        val path = s"$FixtureDir/docs_by_lang"
+        table(spark, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+        spark.read.parquet(path)
+          .filter(col("lang").isin("de", "fr"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(
+        s"""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+           |FROM read_parquet('$FixtureDir/docs_by_lang/*/*.parquet',
+           |                  hive_partitioning=1)
+           |WHERE lang IN ('de', 'fr')
+           |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // ---------------------------------------------------------------- q98
+    // Bucketed co-located join: the amortized-shuffle layout for the
+    // reference's dominant repeated join (new-vs-existing variants on
+    // the natural key, `VariantLoad3.saveVariants:483-532`; scaladoc on
+    // `sources/Bucketed`). Both sides are written hash-bucketed and
+    // sorted on the join key; the sort-merge join over `spark.table`
+    // then plans with NO Exchange on either side (`BucketedJoinSpec`
+    // asserts the zero-exchange plan) — at 100 TB the per-load-wave
+    // shuffle of the persistent side disappears. The oracle computes
+    // the same join from the RAW parquet tables, so a row lost,
+    // duplicated, or mis-bucketed by the bucketed write fails the hash.
+    Q("q98_bucketed_join",
+      (spark, dir) => {
+        val ordPath = s"$FixtureDir/bkt_orders"
+        val liPath = s"$FixtureDir/bkt_lineitem"
+        graft.sources.Bucketed.writeBucketed(
+          table(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_q98_orders", 8, Seq("o_orderkey"), path = Some(ordPath))
+        graft.sources.Bucketed.writeBucketed(
+          table(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          "graft_q98_lineitem", 8, Seq("l_orderkey"), path = Some(liPath))
+        spark.table("graft_q98_lineitem")
+          .join(spark.table("graft_q98_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
 }

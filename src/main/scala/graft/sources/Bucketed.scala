@@ -27,11 +27,15 @@ object Bucketed {
 
   /** Write `df` as a managed parquet table bucketed and sorted by
     * `keys` — the once-per-table shuffle that makes all later joins on
-    * `keys` exchange-free. */
+    * `keys` exchange-free. Pass `path` to pin the table's files to an
+    * external location (the catalog entry still carries the bucket
+    * spec, which is what the planner reads). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String], mode: String = "overwrite"): Unit =
-    df.write.mode(mode).format("parquet")
+                    keys: Seq[String], mode: String = "overwrite",
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }
