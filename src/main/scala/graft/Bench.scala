@@ -40,7 +40,13 @@ object Bench {
     val results = selected.map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { q.fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // stderr, so the stdout JSON line stays parseable — but never
+          // silent: a swallowed failure looks like a fast query
+          System.err.println(s"[bench] ${q.name} FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
         dt

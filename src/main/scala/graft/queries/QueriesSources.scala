@@ -937,6 +937,19 @@ object QueriesSources {
       (spark, dir) => {
         val ordPath = s"$FixtureDir/bkt_orders"
         val liPath = s"$FixtureDir/bkt_lineitem"
+        // start from a clean slate AND drop any session-cached listing
+        // for these paths: overwriting an external-table path whose
+        // files a previous run wrote can otherwise leave a stale
+        // file-status entry behind (observed once as FILE_NOT_EXIST on
+        // the just-written table in a 97-query session)
+        def rmrf(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rmrf)
+          p.delete()
+        }
+        spark.sql("DROP TABLE IF EXISTS graft_q98_orders")
+        spark.sql("DROP TABLE IF EXISTS graft_q98_lineitem")
+        rmrf(new java.io.File(ordPath))
+        rmrf(new java.io.File(liPath))
         graft.sources.Bucketed.writeBucketed(
           table(spark, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),
@@ -945,6 +958,8 @@ object QueriesSources {
           table(spark, dir, "lineitem")
             .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
           "graft_q98_lineitem", 8, Seq("l_orderkey"), path = Some(liPath))
+        spark.catalog.refreshByPath(ordPath)
+        spark.catalog.refreshByPath(liPath)
         spark.table("graft_q98_lineitem")
           .join(spark.table("graft_q98_orders"),
             col("l_orderkey") === col("o_orderkey"))
