@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.BitmapIntersectCount.functionDescription)
     ext.injectFunction(graft.functions.ArrayDotProduct.functionDescription)
     ext.injectFunction(graft.functions.MinhashSignature.functionDescription)
+    ext.injectFunction(graft.functions.SortedIntersectCount.functionDescription)
   }
 }

@@ -1324,6 +1324,156 @@ object QueriesLlm {
           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
           |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // -- Incremental dedup against a PERSISTENT MinHash index: the
+    // production shape for a continuously-ingested corpus. One-time
+    // (amortized) cost: the corpus's shingle-hash lists and exploded
+    // LSH band keys are written as bucketed tables — docs by doc_id,
+    // bands by the combined band key. Per ingest wave: only the NEW
+    // batch is shingled/signed; its band keys join the index's band
+    // table and its candidates join the index's doc table, and on both
+    // joins the corpus-sized side enters EXCHANGE-FREE (bucket
+    // partitioning recognized by the planner; the per-wave shuffle is
+    // the wave's, not the corpus's — same amortization as q98, applied
+    // to the dedup family). Exact-Jaccard verify runs on the stored
+    // hash lists (array_intersect), so no bitmap dictionary and no
+    // session state is needed across waves. The wave mixes exact
+    // copies (re-keyed %20==0 docs → must match their originals) with
+    // reversed-text decoys (%20==4 → shingle sets differ; band
+    // collisions, if any, must die in the verify). The oracle replays
+    // index build + wave + banding + verify from scratch in DuckDB.
+    //
+    // The gate runs on a doc_id%4 corpus subset for the same reason as
+    // q92: the template corpus's ~400-shingle universe makes minhash
+    // bands collide across non-similar docs (q41's documented
+    // artifact), and here every false candidate pays an
+    // array_intersect — the subset keeps the gate at catalog-friendly
+    // cost without changing any operator shape.
+    Q("q99_incremental_dedup",
+      (spark, dir) => {
+        val docPath = s"${QueriesSources.FixtureDir}/dedup_index_docs"
+        val bandPath = s"${QueriesSources.FixtureDir}/dedup_index_bands"
+        def rmrf(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rmrf)
+          p.delete()
+        }
+        spark.sql("DROP TABLE IF EXISTS graft_q99_docs")
+        spark.sql("DROP TABLE IF EXISTS graft_q99_bands")
+        rmrf(new java.io.File(docPath))
+        rmrf(new java.io.File(bandPath))
+        // shingle-hash lists + signatures (shared by index build and wave)
+        // hl kept SORTED: the verify step is the native two-pointer
+        // merge `sorted_inter_count` (allocation-free, codegen; ~3x
+        // over array_intersect on the candidate-pair loop)
+        def signed(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("lang"),
+            sort_array(array_distinct(transform(TF.shingles(col("text"), 3),
+              s => TF.shingleHash3(s)))).as("hl"))
+          .withColumn("sz", size(col("hl")).cast("long"))
+          .filter(col("sz") > 0)
+          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+        def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+          // combined collision-free key (band_key < 2^31 * 31^3):
+          // single-column bucket spec == single-column join key
+          .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+        val corpus = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0).select("doc_id", "lang", "text")
+        val index = signed(corpus).localCheckpoint(true) // docs write + bands write
+        graft.sources.Bucketed.writeBucketed(index.select("doc_id", "hl", "sz"),
+          "graft_q99_docs", 8, Seq("doc_id"), path = Some(docPath))
+        graft.sources.Bucketed.writeBucketed(bandsOf(index),
+          "graft_q99_bands", 8, Seq("bkey"), path = Some(bandPath))
+        spark.catalog.refreshByPath(docPath)
+        spark.catalog.refreshByPath(bandPath)
+        // ---- the ingest wave (exact copies + reversed decoys)
+        val wave = corpus.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+            .withColumn("doc_id", col("doc_id") + 300000L)
+            .withColumn("text", reverse(col("text"))))
+        val wsig = signed(wave).localCheckpoint(true) // bands + verify + rollup
+        val cand = bandsOf(wsig).withColumnRenamed("doc_id", "w_id")
+          .join(spark.table("graft_q99_bands"), "bkey")
+          .select(col("w_id"), col("doc_id").as("idx_id"))
+          .distinct()
+        val verified = cand
+          .join(spark.table("graft_q99_docs")
+            .select(col("doc_id").as("idx_id"), col("hl").as("hl_i"), col("sz").as("sz_i")),
+            "idx_id")
+          .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
+            col("sz").as("sz_w")), "w_id")
+          // necessary-condition prune BEFORE the intersect
+          .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
+          .withColumn("inter",
+            call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
+          .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+        wsig.select(col("doc_id"), col("lang"))
+          .join(verified.groupBy(col("w_id").as("doc_id"))
+            .agg(count(lit(1)).as("n_matches"), min(col("idx_id")).as("first_match")),
+            Seq("doc_id"), "left_outer")
+          .groupBy(col("lang"), col("n_matches").isNotNull.as("is_dup"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_matches"), lit(0L))).as("n_pairs"),
+            sum(coalesce(col("first_match"), lit(0L))).as("sum_first_match"))
+          .orderBy(col("lang"), col("is_dup"))
+      },
+      Some {
+        def minhashCtes(prefix: String, src: String): String = {
+          val sigCols = (0 until K).map(i =>
+            s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
+            .mkString(",\n    ")
+          val bandSelects = (0 until Bands).map { b =>
+            val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+              .reduce((acc, m) => s"($acc * 31 + $m)")
+            s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
+          }.mkString("\n  UNION ALL\n  ")
+          s"""${prefix}sh AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+             |  FROM (SELECT doc_id, lang, lower(text) AS t FROM $src)),
+             |${prefix}docs AS (
+             |  SELECT doc_id, lang, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
+             |    SELECT doc_id, lang, list_distinct(list_transform(sh, s ->
+             |      CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+             |            + ascii(substr(s, 3, 1))) % $P AS BIGINT))) AS hl
+             |    FROM ${prefix}sh)
+             |  WHERE len(hl) > 0),
+             |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
+             |${prefix}bands AS (
+             |  $bandSelects)""".stripMargin
+        }
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0),
+           |wave AS (
+           |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 300000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 4),
+           |${minhashCtes("i", "corpus")},
+           |${minhashCtes("w", "wave")},
+           |cand AS (
+           |  SELECT DISTINCT w.doc_id AS w_id, i.doc_id AS idx_id
+           |  FROM wbands w JOIN ibands i ON w.bkey = i.bkey),
+           |verified AS (
+           |  SELECT w_id, idx_id FROM (
+           |    SELECT c.w_id, c.idx_id,
+           |      CAST(len(list_intersect(wd.hl, id.hl)) AS BIGINT) AS inter,
+           |      wd.sz AS sz_w, id.sz AS sz_i
+           |    FROM cand c
+           |    JOIN wdocs wd ON wd.doc_id = c.w_id
+           |    JOIN idocs id ON id.doc_id = c.idx_id
+           |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
+           |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold),
+           |m AS (
+           |  SELECT w_id AS doc_id, count(*) AS n_matches, min(idx_id) AS first_match
+           |  FROM verified GROUP BY w_id)
+           |SELECT wd.lang, (m.doc_id IS NOT NULL) AS is_dup,
+           |  count(*) AS n_docs,
+           |  CAST(sum(coalesce(m.n_matches, 0)) AS BIGINT) AS n_pairs,
+           |  CAST(sum(coalesce(m.first_match, 0)) AS BIGINT) AS sum_first_match
+           |FROM wdocs wd LEFT JOIN m ON m.doc_id = wd.doc_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     // -- Deterministic per-stratum hash sampling (importance sampling /
     // language rebalancing): keep a row iff the md5 hex prefix of its
     // stable id + salt compares below the stratum's threshold string.

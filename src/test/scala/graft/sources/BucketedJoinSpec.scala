@@ -35,4 +35,30 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_dim_bkt")
     }
   }
+
+  test("bucket partitioning survives a column alias: only the other side shuffles") {
+    // q99's shape: the persistent index is joined through a RENAMED
+    // key column; alias-aware output partitioning must still let the
+    // bucketed scan feed the sort-merge join exchange-free, so the
+    // per-wave shuffle is the wave's, never the corpus's
+    val docs = (0 until 5000).map(i => (i.toLong, i % 97)).toDF("doc_id", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_alias_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketed.writeBucketed(docs, "graft_alias_bkt", 8, Seq("doc_id"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val wave = (0 until 100).map(i => (i.toLong * 3, i.toLong)).toDF("idx_id", "w_id")
+      val j = wave.join(
+        spark.table("graft_alias_bkt").select($"doc_id".as("idx_id"), $"v"),
+        "idx_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(j.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_alias_bkt")
+    }
+  }
 }
