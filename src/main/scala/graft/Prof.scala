@@ -35,6 +35,13 @@ object Prof {
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
 
+    // composed shingle+hash chain vs the native one-pass expression
+    // (sum() forces full evaluation of every element)
+    time("hl composed")(docs.select(transform(TF.shingles(col("text"), 3),
+      s => TF.shingleHash3(s)).as("hl")).select(sum(size(col("hl")))).head())
+    time("hl native shingle_hashes")(docs.select(TF.shingleHashes(col("text")).as("hl"))
+      .select(sum(size(col("hl")))).head())
+
     val bm = time("withBitmap build")(
       graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
         .select(col("doc_id"), col("lang"), col("sz"), col("bm"))

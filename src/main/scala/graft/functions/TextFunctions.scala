@@ -113,6 +113,15 @@ object TextFunctions {
     ((ascii(substring(s, 1, 1)) * 31L + ascii(substring(s, 2, 1))) * 31L
       + ascii(substring(s, 3, 1))) % HashMod
 
+  /** Fused `transform(shingles(text, 3), shingleHash3)` as the native
+    * one-pass expression [[ShingleHashes]] (`shingle_hashes`,
+    * registered by `GraftExtensions`) — no per-shingle string
+    * materialization; element-for-element identical output
+    * (spec-checked). The first full-corpus map stage of the dedup
+    * family, so the allocation win is proportional to corpus bytes. */
+  def shingleHashes(text: Column): Column =
+    call_function("shingle_hashes", lower(text))
+
   /** Per-function minhash seeds: a_i = 2i+1, b_i = 7919i+123. */
   def minhashA(i: Int): Long = 2L * i + 1
   def minhashB(i: Int): Long = 7919L * i + 123

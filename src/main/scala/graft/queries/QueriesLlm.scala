@@ -1363,11 +1363,13 @@ object QueriesLlm {
         // shingle-hash lists + signatures (shared by index build and wave)
         // hl kept SORTED: the verify step is the native two-pointer
         // merge `sorted_inter_count` (allocation-free, codegen; ~3x
-        // over array_intersect on the candidate-pair loop)
+        // over array_intersect on the candidate-pair loop). Shingling
+        // is the native one-pass `shingle_hashes` — this regime never
+        // needs shingle STRINGS (no bitmap dictionary), so the
+        // per-shingle string materialization disappears entirely.
         def signed(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), col("lang"),
-            sort_array(array_distinct(transform(TF.shingles(col("text"), 3),
-              s => TF.shingleHash3(s)))).as("hl"))
+            sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
           .withColumn("sz", size(col("hl")).cast("long"))
           .filter(col("sz") > 0)
           .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
