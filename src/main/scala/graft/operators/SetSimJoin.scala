@@ -37,42 +37,37 @@ object SetSimJoin {
   def withBitmap(df: DataFrame, idCol: String, shCol: String): DataFrame = {
     // materialize the caller's frame once: the (possibly expensive)
     // shingle expression would otherwise re-evaluate for the dictionary
-    // job, the word grouping AND the join-back — and again per side of
-    // any downstream self-join
+    // job AND again per side of any downstream self-join
     val base = df.withColumn("sz", size(col(shCol))).localCheckpoint(true)
-    val post = base.select(col(idCol), explode(col(shCol)).as("g"))
     // dictionary: one job, collected — the bitmap regime bounds the
     // element universe (same smallness contract as a broadcast dim,
     // which also bounds the driver memory this collect holds: a few
     // million distinct elements is a few hundred MB of Rows, the upper
     // end of what a driver should ever hold), and a driver-side
-    // dictionary costs one pass where the join form recomputed the
+    // dictionary costs one pass where a join form would recompute the
     // distinct for every consumer. Elements are read generically so
     // non-string shingle columns (e.g. hashed long shingles) work too.
-    val universe = post.select(col("g")).distinct().orderBy(col("g"))
-      .collect().map(_.get(0))
+    val elemType = base.schema(shCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val universe = base.select(explode(col(shCol)).as("g"))
+      .distinct().orderBy(col("g")).collect().map(_.get(0))
     val nWords = (universe.length - 1) / 64 + 1
-    // dict keeps the element column's own type (createDataFrame with
-    // the scanned schema) so the join-back never casts
-    val spark = df.sparkSession
-    val dictSchema = org.apache.spark.sql.types.StructType(Seq(
-      post.schema("g"),
-      org.apache.spark.sql.types.StructField("idx",
-        org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val dictRows = universe.zipWithIndex.map { case (g, i) =>
-      org.apache.spark.sql.Row(g, i)
+    // the sorted universe rides as an array literal into the native
+    // `dict_bitmap` expression (rank-in-sorted-order == the dictionary
+    // index), so attaching the bitmap is a map-only PROJECTION — the
+    // former dataflow form (explode → broadcast dict join → bit_or
+    // groupBy → word-map groupBy → join back) moved the exploded
+    // corpus three times to compute a per-row value
+    val universeLit = elemType match {
+      case org.apache.spark.sql.types.StringType =>
+        lit(universe.map(_.asInstanceOf[String]))
+      case org.apache.spark.sql.types.LongType =>
+        lit(universe.map(_.asInstanceOf[Long]))
+      case t => throw new IllegalArgumentException(
+        s"withBitmap supports string/long elements, got ${t.catalogString}")
     }
-    val dict = spark.createDataFrame(
-      java.util.Arrays.asList(dictRows: _*), dictSchema)
-    val words = post.join(broadcast(dict), "g")
-      .groupBy(col(idCol), (col("idx") / 64).cast("int").as("w"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)))").as("bits"))
-    val bm = words.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(nWords - 1)),
-          w => coalesce(element_at(col("wm"), w), lit(0L))).as("bm"))
-    base.join(bm, idCol) // bm is tiny → broadcast; base is not reshuffled
+    base.withColumn("bm",
+      call_function("dict_bitmap", col(shCol), universeLit, lit(nWords)))
   }
 
   /** |A∩B| from two equal-length bitmaps: popcount of the AND, as the

@@ -109,5 +109,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.MinhashSignature.functionDescription)
     ext.injectFunction(graft.functions.SortedIntersectCount.functionDescription)
     ext.injectFunction(graft.functions.ShingleHashes.functionDescription)
+    ext.injectFunction(graft.functions.DictBitmap.functionDescription)
   }
 }
