@@ -888,6 +888,44 @@ object QueriesSources {
            |FROM prot ORDER BY acc""".stripMargin
       }),
 
+    // ---------------------------------------------------------------- q69
+    // Gzipped JSONL round trip — the corpus interchange format (every
+    // public text dump ships as *.jsonl.gz). The documents table is
+    // written as compressed newline-delimited JSON with a NESTED
+    // metadata struct, read back through an explicit schema (never
+    // inferSchema at 100 TB — schema inference is a full extra pass),
+    // and aggregated; the DuckDB oracle parses the very same .gz files
+    // with its own JSON reader, so a dropped row/field, mangled nested
+    // struct, type drift, or string-escaping break diverges the hash.
+    Q("q69_jsonl_roundtrip",
+      (spark, dir) => {
+        val path = s"$FixtureDir/docs_jsonl"
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            struct(col("source"), col("n_chars")).as("meta"))
+          .write.mode("overwrite").option("compression", "gzip").json(path)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, text STRING, " +
+            "meta STRUCT<source: STRING, n_chars: BIGINT>")
+        spark.read.schema(schema).json(path)
+          .groupBy(col("lang"), col("meta.source").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_ids"),
+            sum(col("meta.n_chars")).as("sum_meta_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_chars"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(
+        s"""SELECT lang, meta.source AS source, count(*) AS n_docs,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           |  CAST(sum(meta.n_chars) AS BIGINT) AS sum_meta_chars,
+           |  CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+           |FROM read_json('$FixtureDir/docs_jsonl/*.json.gz',
+           |  format='newline_delimited',
+           |  columns={'doc_id':'BIGINT','lang':'VARCHAR','text':'VARCHAR',
+           |           'meta':'STRUCT(source VARCHAR, n_chars BIGINT)'})
+           |GROUP BY lang, meta.source ORDER BY lang, source""".stripMargin)),
+
     // ---------------------------------------------------------------- q97
     // Partition-pruned layout: the 100 TB table layout primitive. The
     // corpus is written hive-partitioned by `lang`
