@@ -164,16 +164,20 @@ object QueriesLlm {
     Q("q41_dedup_minhash_lsh",
       (spark, dir) => {
         val sh = table(spark, dir, "documents")
-          .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"), col("text"), TF.shingles(col("text"), 3).as("sh"))
         // one frame carries signature AND verification bitmap, so the
         // band self-join verifies candidates inline — no second join to
         // fetch bitmaps for the (band-count x) candidate stream
         val bmdf = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
         // materialized once: the band self-join below would otherwise
-        // recompute the signature pipeline for each side
+        // recompute the signature pipeline for each side. hl via the
+        // native one-pass shingle_hashes (== transform(sh, shingleHash3)
+        // element for element, spec-checked) — text rides through the
+        // bitmap frame for it and is dropped before the checkpoint
         val sig = bmdf
-          .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
+          .withColumn("hl", TF.shingleHashes(col("text")))
           .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+          .drop("text", "hl")
           .localCheckpoint(true)
         val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>
@@ -1073,10 +1077,13 @@ object QueriesLlm {
           // consumed by the signature build AND the final rollup
           .localCheckpoint(true)
         // stage 2: LSH candidates + inline verify over exact survivors
-        val sh = exact.select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+        // (hl via native shingle_hashes, as q41)
+        val sh = exact.select(col("doc_id"), col("text"),
+          TF.shingles(col("text"), 3).as("sh"))
         val sig = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
-          .withColumn("hl", transform(col("sh"), s => TF.shingleHash3(s)))
+          .withColumn("hl", TF.shingleHashes(col("text")))
           .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+          .drop("text", "hl")
           .localCheckpoint(true)
         val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>
