@@ -1483,6 +1483,131 @@ object QueriesLlm {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
+    // -- The corpus CLEANING FUNNEL as one gated artifact (the quality
+    // twin of q88's dedup ladder): language-ID gate → quality
+    // thresholds (token count + mean token length) → repetition gate
+    // (q94's top-bigram mass) → exact dedup among survivors, reported
+    // as the per-stage attrition table production corpus cleans are
+    // monitored by. All per-doc stage flags are map-only higher-order
+    // expressions evaluated in ONE projection (a doc is never
+    // re-scanned per stage); the only shuffles are the single count
+    // aggregate and the final distinct-text dedup over stage-3
+    // survivors. The oracle replays every stage in SQL.
+    Q("q100_cleaning_funnel",
+      (spark, dir) => {
+        val toks = TF.tokens(lower(col("text")))
+        val nTok = size(toks).cast("long")
+        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        // .cast("long") is load-bearing: Spark's `/` on longs is DOUBLE
+        // division; the truncating cast makes it the floor the oracle's
+        // `//` computes (same form as TextFunctions.qualityMetrics)
+        val meanLenX100 = when(nTok > 0, (sumLen * 100 / nTok).cast("long")).otherwise(0L)
+        val gs = transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+        val cs = transform(array_distinct(gs),
+          g => size(filter(gs, x => x === g)).cast("long"))
+        // injected exact copies (re-keyed %9==0 docs) make the final
+        // dedup stage do real work, as q88's fixture does
+        val d = table(spark, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionByName(d.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 400000L))
+        val flagged = corpus
+          .select(col("doc_id"), col("text"),
+            (TF.langId(col("text")) =!= "und").as("f_lang"),
+            (nTok >= 15 && meanLenX100.between(420, 470)).as("f_quality"),
+            when(size(gs) > 0,
+              array_max(cs) * 1000 < size(gs).cast("long") * 100)
+              .otherwise(true).as("f_rep"))
+          // the counts aggregate and the dedup both read the flags
+          .localCheckpoint(true)
+        val counts = flagged.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f_lang"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("f_lang") && col("f_quality"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("f_lang") && col("f_quality") && col("f_rep"), 1L)
+            .otherwise(0L)).as("n3"))
+        val n4 = flagged
+          .filter(col("f_lang") && col("f_quality") && col("f_rep"))
+          .select(col("text")).distinct()
+          .agg(count(lit(1)).as("n4"))
+        counts.crossJoin(n4)
+          .select(explode(array(
+            struct(lit(1L).as("stage_idx"), lit("lang_id").as("stage"),
+              (col("n0") - col("n1")).as("n_removed"), col("n1").as("n_remaining")),
+            struct(lit(2L).as("stage_idx"), lit("quality").as("stage"),
+              (col("n1") - col("n2")).as("n_removed"), col("n2").as("n_remaining")),
+            struct(lit(3L).as("stage_idx"), lit("repetition").as("stage"),
+              (col("n2") - col("n3")).as("n_removed"), col("n3").as("n_remaining")),
+            struct(lit(4L).as("stage_idx"), lit("exact_dedup").as("stage"),
+              (col("n3") - col("n4")).as("n_removed"), col("n4").as("n_remaining"))))
+            .as("s"))
+          .select(col("s.*"))
+          .orderBy(col("stage_idx"))
+      },
+      Some {
+        // stage predicates mirror q47 (lang pick), q48 (mean token
+        // length), q94 (top-bigram mass) exactly
+        val hits = TF.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString(", ")
+          lang -> s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($inList)))"
+        }
+        val best = s"greatest(${hits.map(_._2).mkString(", ")})"
+        val pick = hits.map { case (lang, h) =>
+          s"WHEN $h = best AND best > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 9 = 0),
+           |base AS (
+           |  SELECT doc_id, text,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+           |    $best AS best
+           |  FROM corpus),
+           |f1 AS (
+           |  SELECT doc_id, text, toks,
+           |    (CASE $pick ELSE 'und' END) <> 'und' AS f_lang,
+           |    CAST(len(toks) AS BIGINT) AS n_tok,
+           |    CASE WHEN len(toks) > 0 THEN
+           |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+           |        (a, x) -> a + x) * 100 // len(toks)
+           |    ELSE 0 END AS mean_len_x100
+           |  FROM base),
+           |bg AS (
+           |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+           |    FOR i IN generate_series(1, len(toks) - 1)]) AS g
+           |  FROM base WHERE len(toks) >= 2),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+           |rep AS (
+           |  SELECT doc_id, max(c) AS top_c, sum(c) AS tot
+           |  FROM bgc GROUP BY doc_id),
+           |fl AS (
+           |  SELECT f1.doc_id, f1.text, f_lang,
+           |    (n_tok >= 15 AND mean_len_x100 BETWEEN 420 AND 470) AS f_quality,
+           |    COALESCE(r.top_c * 1000 < r.tot * 100, TRUE) AS f_rep
+           |  FROM f1 LEFT JOIN rep r ON r.doc_id = f1.doc_id),
+           |c AS (
+           |  SELECT count(*) AS n0,
+           |    CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN f_lang AND f_quality THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(sum(CASE WHEN f_lang AND f_quality AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n3
+           |  FROM fl),
+           |d AS (
+           |  SELECT CAST(count(DISTINCT text) AS BIGINT) AS n4
+           |  FROM fl WHERE f_lang AND f_quality AND f_rep)
+           |SELECT stage_idx, stage, n_removed, n_remaining FROM (
+           |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'lang_id' AS stage,
+           |    n0 - n1 AS n_removed, n1 AS n_remaining FROM c
+           |  UNION ALL
+           |  SELECT 2, 'quality', n1 - n2, n2 FROM c
+           |  UNION ALL
+           |  SELECT 3, 'repetition', n2 - n3, n3 FROM c
+           |  UNION ALL
+           |  SELECT 4, 'exact_dedup', n3 - d.n4, d.n4 FROM c, d)
+           |ORDER BY stage_idx""".stripMargin
+      }),
+
     // -- Deterministic per-stratum hash sampling (importance sampling /
     // language rebalancing): keep a row iff the md5 hex prefix of its
     // stable id + salt compares below the stratum's threshold string.
