@@ -1488,35 +1488,56 @@ object QueriesLlm {
     // thresholds (token count + mean token length) → repetition gate
     // (q94's top-bigram mass) → exact dedup among survivors, reported
     // as the per-stage attrition table production corpus cleans are
-    // monitored by. All per-doc stage flags are map-only higher-order
-    // expressions evaluated in ONE projection (a doc is never
-    // re-scanned per stage); the only shuffles are the single count
-    // aggregate and the final distinct-text dedup over stage-3
-    // survivors. The oracle replays every stage in SQL.
+    // monitored by. All per-doc stage flags are map-only, staged as
+    // NAMED columns (withColumn) so each intermediate array is
+    // materialized once per row — inlining `gs` as a raw expression
+    // tree re-built the bigram array inside every higher-order lambda
+    // evaluation, which turned the per-doc scan cubic (measured: the
+    // inlined form took ~8 min at sf0.1; this form ~1 s). The
+    // top-bigram count itself is sort + one linear run-length scan
+    // (O(g log g) per doc), not the count-each-distinct-gram
+    // O(g^2) form. The only shuffles are the single count aggregate
+    // and the final distinct-text dedup over stage-3 survivors. The
+    // oracle replays every stage in SQL.
     Q("q100_cleaning_funnel",
       (spark, dir) => {
-        val toks = TF.tokens(lower(col("text")))
-        val nTok = size(toks).cast("long")
-        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        // .cast("long") is load-bearing: Spark's `/` on longs is DOUBLE
-        // division; the truncating cast makes it the floor the oracle's
-        // `//` computes (same form as TextFunctions.qualityMetrics)
-        val meanLenX100 = when(nTok > 0, (sumLen * 100 / nTok).cast("long")).otherwise(0L)
-        val gs = transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-        val cs = transform(array_distinct(gs),
-          g => size(filter(gs, x => x === g)).cast("long"))
         // injected exact copies (re-keyed %9==0 docs) make the final
         // dedup stage do real work, as q88's fixture does
         val d = table(spark, dir, "documents").select("doc_id", "text")
         val corpus = d.unionByName(d.filter(col("doc_id") % 9 === 0)
           .withColumn("doc_id", col("doc_id") + 400000L))
+        // max run length over the sorted bigram array == the count of
+        // the most frequent bigram; acc carries (prev gram, current
+        // run, best run) through one pass
+        def runStep(acc: org.apache.spark.sql.Column,
+                    x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), cur.as("cur"),
+            greatest(acc.getField("best"), cur).as("best"))
+        }
         val flagged = corpus
+          .withColumn("toks", TF.tokens(lower(col("text"))))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          // .cast("long") is load-bearing: Spark's `/` on longs is
+          // DOUBLE division; the truncating cast makes it the floor the
+          // oracle's `//` computes (TextFunctions.qualityMetrics form)
+          .withColumn("mean_len_x100", when(col("n_tok") > 0,
+            (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+              * 100 / col("n_tok")).cast("long")).otherwise(0L))
+          .withColumn("gs", transform(
+            sequence(lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))))
+          .withColumn("top_c", aggregate(array_sort(col("gs")),
+            struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+            runStep, acc => acc.getField("best")))
           .select(col("doc_id"), col("text"),
             (TF.langId(col("text")) =!= "und").as("f_lang"),
-            (nTok >= 15 && meanLenX100.between(420, 470)).as("f_quality"),
-            when(size(gs) > 0,
-              array_max(cs) * 1000 < size(gs).cast("long") * 100)
+            (col("n_tok") >= 15 && col("mean_len_x100").between(420, 470))
+              .as("f_quality"),
+            when(size(col("gs")) > 0,
+              col("top_c") * 1000 < size(col("gs")).cast("long") * 100)
               .otherwise(true).as("f_rep"))
           // the counts aggregate and the dedup both read the flags
           .localCheckpoint(true)
