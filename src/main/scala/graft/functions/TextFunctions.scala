@@ -94,6 +94,36 @@ object TextFunctions {
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))), 1)
 
+  /** Per-row frequency stats over a STRING array's equal elements,
+    * without a (row, element) shuffle and without the quadratic
+    * count-each-distinct-element scan: `array_sort` + one linear
+    * run-length pass, O(n log n) per row. Returns
+    * `struct(top_c, n_singleton)` — the occurrence count of the most
+    * frequent element and the number of elements whose value occurs
+    * exactly once (so duplicate mass = `size(arr) - n_singleton`).
+    * Empty array → (0, 0). Null elements unsupported (the null `prev`
+    * sentinel marks run starts). Feeds the Gopher-style repetition
+    * filters (q94) and the cleaning funnel (q100). */
+  def elementCountStats(arr: Column): Column = {
+    def step(acc: Column, x: Column): Column = {
+      val isNew = not(x <=> acc.getField("prev"))
+      val cur = when(isNew, lit(1L)).otherwise(acc.getField("cur") + 1L)
+      struct(x.as("prev"), cur.as("cur"),
+        greatest(acc.getField("best"), cur).as("best"),
+        (acc.getField("single") +
+          when(isNew && acc.getField("cur") === 1L, 1L).otherwise(0L))
+          .as("single"))
+    }
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("cur"),
+        lit(0L).as("best"), lit(0L).as("single")),
+      step,
+      acc => struct(acc.getField("best").as("top_c"),
+        (acc.getField("single") +
+          when(acc.getField("cur") === 1L, 1L).otherwise(0L))
+          .as("n_singleton")))
+  }
+
   /** 63-bit polynomial hash of one string (for shingle/token hashing). */
   def polyHash(s: Column, mod: Long = 1000000007L): Column =
     aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % mod)

@@ -1241,11 +1241,13 @@ object QueriesLlm {
     // duplicate-bigram mass fraction, flagged against thresholds, then
     // rolled up per language. Deliberately NOT explode + groupBy(doc,
     // gram): bigram counts are document-local, so they are computed
-    // entirely inside per-row higher-order expressions (distinct grams
-    // -> per-gram occurrence counts -> max / dup mass) — a map-only
-    // pass with the language rollup as the only shuffle. The per-doc
-    // O(grams^2) filter scan is bounded by document length, not corpus
-    // size, which is the right trade at 100 TB.
+    // entirely inside per-row expressions — a map-only pass with the
+    // language rollup as the only shuffle. Per-gram counting is
+    // `TF.elementCountStats` (sort + one run-length scan, O(g log g)
+    // per doc; dup mass falls out as tot - n_singleton) — linear-ish
+    // in document length, so a pathologically long document cannot
+    // blow up a task the way the earlier count-each-distinct-gram
+    // O(g^2) scan could.
     Q("q94_repetition_filter",
       (spark, dir) => {
         val t = table(spark, dir, "documents")
@@ -1253,13 +1255,11 @@ object QueriesLlm {
           .filter(size(col("t")) >= 2)
           .withColumn("gs", transform(sequence(lit(1), size(col("t")) - 1),
             i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
-          .withColumn("cs", transform(array_distinct(col("gs")),
-            g => size(filter(col("gs"), x => x === g)).cast("long")))
+          .withColumn("st", TF.elementCountStats(col("gs")))
           .select(col("lang"),
-            array_max(col("cs")).as("top_c"),
+            col("st.top_c").as("top_c"),
             size(col("gs")).cast("long").as("tot"),
-            aggregate(filter(col("cs"), c => c >= 2L), lit(0L), (a, c) => a + c)
-              .as("dup_mass"))
+            (size(col("gs")).cast("long") - col("st.n_singleton")).as("dup_mass"))
         t.groupBy(col("lang"))
           .agg(count(lit(1)).as("docs"),
             sum(when(col("top_c") * 1000 >= col("tot") * 100, 1L).otherwise(0L))
@@ -1494,11 +1494,11 @@ object QueriesLlm {
     // tree re-built the bigram array inside every higher-order lambda
     // evaluation, which turned the per-doc scan cubic (measured: the
     // inlined form took ~8 min at sf0.1; this form ~1 s). The
-    // top-bigram count itself is sort + one linear run-length scan
-    // (O(g log g) per doc), not the count-each-distinct-gram
-    // O(g^2) form. The only shuffles are the single count aggregate
-    // and the final distinct-text dedup over stage-3 survivors. The
-    // oracle replays every stage in SQL.
+    // top-bigram count is `TF.elementCountStats` (sort + one linear
+    // run-length scan, O(g log g) per doc), not the
+    // count-each-distinct-gram O(g^2) form. The only shuffles are the
+    // single count aggregate and the final distinct-text dedup over
+    // stage-3 survivors. The oracle replays every stage in SQL.
     Q("q100_cleaning_funnel",
       (spark, dir) => {
         // injected exact copies (re-keyed %9==0 docs) make the final
@@ -1506,16 +1506,6 @@ object QueriesLlm {
         val d = table(spark, dir, "documents").select("doc_id", "text")
         val corpus = d.unionByName(d.filter(col("doc_id") % 9 === 0)
           .withColumn("doc_id", col("doc_id") + 400000L))
-        // max run length over the sorted bigram array == the count of
-        // the most frequent bigram; acc carries (prev gram, current
-        // run, best run) through one pass
-        def runStep(acc: org.apache.spark.sql.Column,
-                    x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L)
-            .otherwise(lit(1L))
-          struct(x.as("prev"), cur.as("cur"),
-            greatest(acc.getField("best"), cur).as("best"))
-        }
         val flagged = corpus
           .withColumn("toks", TF.tokens(lower(col("text"))))
           .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -1529,9 +1519,7 @@ object QueriesLlm {
             sequence(lit(1), greatest(size(col("toks")) - 1, lit(0))),
             i => concat(element_at(col("toks"), i), lit(" "),
               element_at(col("toks"), i + 1))))
-          .withColumn("top_c", aggregate(array_sort(col("gs")),
-            struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
-            runStep, acc => acc.getField("best")))
+          .withColumn("top_c", TF.elementCountStats(col("gs")).getField("top_c"))
           .select(col("doc_id"), col("text"),
             (TF.langId(col("text")) =!= "und").as("f_lang"),
             (col("n_tok") >= 15 && col("mean_len_x100").between(420, 470))

@@ -17,6 +17,25 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(r.getInt(2) == 6) // the, quick, ',', brown, fox, '!'
   }
 
+  test("elementCountStats: run-length scan equals brute-force counts") {
+    val cases = Seq(
+      (Seq.empty[String], 0L, 0L),            // empty -> (0, 0)
+      (Seq("a"), 1L, 1L),                     // single element
+      (Seq("a", "a", "a"), 3L, 0L),           // all same
+      (Seq("a", "b", "c"), 1L, 3L),           // all distinct
+      (Seq("b", "a", "b", "c", "a", "b"), 3L, 1L)) // mixed, unsorted
+    val got = cases.map(_._1).toDF("arr")
+      .select(TextFunctions.elementCountStats($"arr").as("s"))
+      .select($"s.top_c", $"s.n_singleton").collect()
+    cases.zip(got).foreach { case ((arr, top, single), r) =>
+      assert(r.getLong(0) == top, s"top_c of $arr")
+      assert(r.getLong(1) == single, s"n_singleton of $arr")
+      // dup mass identity used by q94
+      val dupMass = arr.groupBy(identity).values.filter(_.size >= 2).map(_.size).sum
+      assert(arr.size - r.getLong(1) == dupMass, s"dup_mass of $arr")
+    }
+  }
+
   test("fingerprint equals the JVM-side polynomial fold") {
     val s = "hello world"
     val expect = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
