@@ -1617,6 +1617,75 @@ object QueriesLlm {
            |ORDER BY stage_idx""".stripMargin
       }),
 
+    // -- PII scrubbing (email + phone redaction with audit counts):
+    // the compliance pass every training corpus runs before release.
+    // Fixture injects deterministic PII (an email built from doc_id on
+    // every %3 doc, a phone on every %5 doc — both engines construct
+    // the identical strings), so the regexes do real work and the
+    // audit counts are non-trivial. Match counting and redaction are
+    // pure regexp expressions — map-only, codegen'd, zero shuffle
+    // until the per-language audit rollup; at 100 TB this is a
+    // full-scan projection, the cheapest shape there is. Email is
+    // redacted before phone on BOTH sides so chars_removed agrees.
+    Q("q101_pii_redaction",
+      (spark, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val withPii = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"),
+              when(col("doc_id") % 3 === 0,
+                concat(lit(" contact user"), col("doc_id").cast("string"),
+                  lit("@example.com now"))).otherwise(lit("")),
+              when(col("doc_id") % 5 === 0,
+                concat(lit(" call 555-"),
+                  lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                  lit("-0199"))).otherwise(lit(""))).as("text"))
+        val scrubbed = withPii
+          .withColumn("n_email",
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long"))
+          .withColumn("n_phone",
+            size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long"))
+          .withColumn("red", regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        scrubbed.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+              .as("n_docs_with_pii"),
+            sum(col("n_email")).as("n_emails"),
+            sum(col("n_phone")).as("n_phones"),
+            sum(length(col("text")).cast("long") - length(col("red")).cast("long"))
+              .as("chars_removed"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        s"""WITH p AS (
+           |  SELECT lang,
+           |    text ||
+           |      (CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+           |        CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
+           |      (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+           |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+           |        ELSE '' END) AS text
+           |  FROM documents),
+           |s AS (
+           |  SELECT lang, text,
+           |    CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+           |    CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
+           |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+           |      '$phoneRe', '<PHONE>', 'g') AS red
+           |  FROM p)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs_with_pii,
+           |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+           |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           |  CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_removed
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+      }),
+
     // -- Deterministic per-stratum hash sampling (importance sampling /
     // language rebalancing): keep a row iff the md5 hex prefix of its
     // stable id + salt compares below the stratum's threshold string.
