@@ -1686,6 +1686,109 @@ object QueriesLlm {
            |FROM s GROUP BY lang ORDER BY lang""".stripMargin
       }),
 
+    // -- Global sub-document (chunk-level) deduplication — the C4 /
+    // CCNet "drop duplicated lines across the whole corpus" pass,
+    // re-expressed at chunk granularity (the synthetic corpus has no
+    // newlines, so the unit is a fixed 20-token window; swap the
+    // splitter for `split(text, '\n')` on a real corpus and nothing
+    // else changes). FIRST occurrence of each distinct window — ordered
+    // by (doc_id, chunk_idx) — survives; later repeats anywhere in the
+    // corpus are dropped; each doc is reassembled from its surviving
+    // windows in order. Exactly two shuffles, both on balanced keys:
+    // (1) by chunk text for the global first-occurrence window (chunk
+    // hash space is uniform — no skew), (2) by doc_id for reassembly.
+    // No broadcast, no collect, no corpus-sized anything on one node;
+    // at 100 TB this is the canonical two-exchange shape of corpus
+    // line dedup. The per-chunk window is row_number over a key whose
+    // groups are tiny (duplicate count per distinct chunk), so the
+    // sort inside each group is O(dups log dups), not O(corpus).
+    Q("q102_chunk_dedup",
+      (spark, dir) => {
+        val cw = 20
+        val ws = table(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val nChunks = floor((size(col("ws")) + lit(cw - 1)) / lit(cw)).cast("int")
+        val chunks = ws
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1),
+              i => concat_ws(" ", slice(col("ws"), i * cw + 1, lit(cw)))))
+              .as(Seq("chunk_idx", "chunk")))
+        val firstOcc = Window.partitionBy(col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+        chunks
+          .withColumn("rn", row_number().over(firstOcc))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("chunk_idx"), col("chunk"))))),
+              s => s.getField("chunk"))).as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |ch AS (
+          |  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+          |         array_to_string(ws[t.i*20+1 : t.i*20+20], ' ') AS chunk
+          |  FROM w, LATERAL unnest(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS t(i)),
+          |rk AS (SELECT *, row_number() OVER
+          |         (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+          |SELECT doc_id, count(*) AS n_chunks,
+          |       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+          |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+          |         ORDER BY chunk_idx), '') AS cleaned
+          |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // -- Unigram-LM corpus-frequency scoring (the integer-exact stand-in
+    // for perplexity filtering): pass 1 builds the unigram model (one
+    // groupBy over the token stream — zipfian head keys collapse in the
+    // map-side partial aggregate, so skew never reaches the exchange);
+    // pass 2 scores every doc by joining its tokens back to the model.
+    // The model is vocabulary-sized (≪ corpus; ~10M rows even at
+    // web scale), so the score join BROADCASTS it — that kills both the
+    // second token-stream shuffle and the zipfian join skew ("the"
+    // matching 10^10 rows lands on one reducer in a shuffle join). All
+    // metrics are integer fixed-point (x1000 via integer div), so the
+    // DuckDB hash-match is exact — no float-rounding drift. Per-doc
+    // outputs: mean token corpus-frequency, rarest-token frequency, and
+    // the below-mean-frequency token count — the signals a quality
+    // filter thresholds on (docs of rare gibberish score low).
+    Q("q103_unigram_lm",
+      (spark, dir) => {
+        val tok = table(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val lm = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val tot = lm.agg(sum(col("cnt")).as("n_total"),
+          count(lit(1)).as("n_vocab"))
+        tok.join(broadcast(lm), "word")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("cnt")).as("sum_freq"),
+            min(col("cnt")).as("min_freq"),
+            sum(when(col("cnt") * col("n_vocab") < col("n_total"), 1L)
+              .otherwise(0L)).as("n_below_mean"))
+          .withColumn("avg_freq_x1000", expr("sum_freq * 1000 div n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+            col("avg_freq_x1000"), col("min_freq"), col("n_below_mean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |lm AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+          |               count(*) AS n_vocab FROM lm)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
+          |  CAST((sum(cnt) * 1000) // count(*) AS BIGINT) AS avg_freq_x1000,
+          |  CAST(min(cnt) AS BIGINT) AS min_freq,
+          |  CAST(count(CASE WHEN cnt * n_vocab < n_total THEN 1 END) AS BIGINT)
+          |    AS n_below_mean
+          |FROM tok JOIN lm USING (word), tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // -- Deterministic per-stratum hash sampling (importance sampling /
     // language rebalancing): keep a row iff the md5 hex prefix of its
     // stable id + salt compares below the stratum's threshold string.
