@@ -35,6 +35,28 @@ object QueriesLlm {
   private val Dim = 64                  // embedding dimensionality
   private val Planes = 8                // LSH hyperplanes
 
+  /** Distinct 5-token-gram fingerprints per doc over the q76
+    * deterministic train/test split (val dropped) — shared by q93
+    * (contamination equi-join) and q104 (Bloom pre-filtered variant).
+    * Columns: doc_id, lang, split, fp. Checkpointed: both consumers
+    * read it at least twice (test side + train side). */
+  private def splitGrams(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val N = 5 // gram width: long enough that collisions mean leakage
+    val b = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100
+    val t = table(spark, dir, "documents")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .filter(col("split") =!= "val")
+      .select(col("doc_id"), col("lang"), col("split"),
+        TF.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= N)
+    t.select(col("doc_id"), col("lang"), col("split"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (N - 1)),
+          i => aggregate(transform(slice(col("t"), i, lit(N)), tok => TF.polyHash(tok)),
+            lit(0L), (acc, h) => (acc * 31 + h) % P)))).as("fp"))
+      .localCheckpoint(true)
+  }
+
   /** Exact same-language Jaccard near-dup pairs via the SetSimJoin
     * bitmap pipeline — shared by q43 (pair listing) and q52
     * (clustering). Columns: doc_a, doc_b, jacc_x1000. */
@@ -1190,20 +1212,7 @@ object QueriesLlm {
     // a single expand + one aggregation exchange keyed by test doc.
     Q("q93_contamination",
       (spark, dir) => {
-        val N = 5 // gram width: long enough that collisions mean leakage
-        val b = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100
-        val t = table(spark, dir, "documents")
-          .withColumn("split",
-            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
-          .filter(col("split") =!= "val")
-          .select(col("doc_id"), col("split"), TF.tokens(lower(col("text"))).as("t"))
-          .filter(size(col("t")) >= N)
-        val grams = t.select(col("doc_id"), col("split"),
-            explode(array_distinct(transform(sequence(lit(1), size(col("t")) - (N - 1)),
-              i => aggregate(transform(slice(col("t"), i, lit(N)), tok => TF.polyHash(tok)),
-                lit(0L), (acc, h) => (acc * 31 + h) % P)))).as("fp"))
-          // consumed twice (test side + train side of the join)
-          .localCheckpoint(true)
+        val grams = splitGrams(spark, dir)
         grams.filter(col("split") === "test").as("te")
           .join(grams.filter(col("split") === "train").as("tr"),
             col("te.fp") === col("tr.fp"))
@@ -1788,6 +1797,73 @@ object QueriesLlm {
           |    AS n_below_mean
           |FROM tok JOIN lm USING (word), tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // -- Bloom-pre-filtered contamination check: q93's test-vs-train
+    // gram intersection, but test grams first probe a Bloom filter
+    // built over the train grams (operators/BloomFilter — declarative
+    // bit_or build, broadcast probe) and only Bloom survivors reach
+    // the exact-confirm equi-join. Bloom filters have NO false
+    // negatives, so the final result is bit-identical to the pure
+    // exact join — which is exactly what the DuckDB oracle checks:
+    // this gate proves the no-false-negative property end to end on
+    // real data, while the FP-rate/probe mechanics are spec'd in
+    // BloomFilterSpec. 100 TB: the filter is 128 KB broadcast; with a
+    // realistic (non-toy) gram space the probe rejects ~all clean test
+    // grams map-side, so the shuffle that q93 pays on the FULL test
+    // gram stream shrinks to (true hits + numBits-governed FPs) — the
+    // standard trick for cross-corpus membership at scale.
+    Q("q104_bloom_prefilter",
+      (spark, dir) => {
+        val numBits = 1L << 20
+        val k = 3
+        val grams = splitGrams(spark, dir)
+        val train = grams.filter(col("split") === "train")
+        val test = grams.filter(col("split") === "test")
+        val bloom = graft.operators.BloomFilter.build(train, "fp", numBits, k)
+        val candidates = test.crossJoin(broadcast(bloom))
+          .filter(graft.operators.BloomFilter.mayContain(
+            col("bloom"), col("fp"), numBits, k))
+          .drop("bloom")
+        // exact confirm: only Bloom survivors enter this exchange
+        val hits = candidates
+          .join(train.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+          .select(col("doc_id"), col("fp")).distinct()
+        test.select(col("doc_id"), col("lang")).distinct()
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_test_docs"),
+            countDistinct(when(col("fp").isNotNull, col("doc_id")))
+              .as("n_contaminated"),
+            count(col("fp")).as("n_gram_hits"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM (SELECT doc_id, lang, text,
+           |          ((doc_id * 1103515245 + 12345) % 2147483647) % 100 AS b
+           |        FROM documents)),
+           |g AS (
+           |  SELECT doc_id, lang, split, unnest(list_distinct([
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(toks[i:i+4], tok ->
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split_regex(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |          (acc, x) -> (acc * 31 + x) % $P))),
+           |      (acc, h) -> (acc * 31 + h) % $P)
+           |    FOR i IN generate_series(1, len(toks) - 4)])) AS fp
+           |  FROM t WHERE len(toks) >= 5 AND split <> 'val'),
+           |hits AS (
+           |  SELECT DISTINCT doc_id, fp FROM g
+           |  WHERE split = 'test' AND fp IN (SELECT fp FROM g WHERE split = 'train')),
+           |td AS (SELECT DISTINCT doc_id, lang FROM g WHERE split = 'test')
+           |SELECT td.lang, count(DISTINCT td.doc_id) AS n_test_docs,
+           |  count(DISTINCT h.doc_id) AS n_contaminated,
+           |  CAST(count(h.fp) AS BIGINT) AS n_gram_hits
+           |FROM td LEFT JOIN hits h ON td.doc_id = h.doc_id
+           |GROUP BY td.lang ORDER BY td.lang""".stripMargin)),
 
     // -- Deterministic per-stratum hash sampling (importance sampling /
     // language rebalancing): keep a row iff the md5 hex prefix of its
