@@ -113,7 +113,8 @@ object QueriesSources {
        |  CAST(sum(total_depth) AS BIGINT) AS sum_depth,
        |  CAST(sum(reads_a + reads_c + reads_g + reads_t) AS BIGINT) AS sum_reads,
        |  CAST(count(DISTINCT rs_id) AS BIGINT) AS n_rs
-       |FROM read_csv('$Cf2Path/*.csv.gz', delim='$Tab', header=false, columns=$typed)
+       |FROM read_csv('$Cf2Path/*.csv.gz', delim='$Tab', header=false,
+       |  auto_detect=false, columns=$typed)
        |GROUP BY chromosome ORDER BY chromosome""".stripMargin
   }
 
