@@ -75,10 +75,17 @@ case class DictBitmap(first: Expression, second: Expression, third: Expression)
 
 object DictBitmap {
 
+  private def checkCapacity(un: Int, nWords: Int): Unit =
+    if (un > nWords.toLong * 64)
+      throw new IllegalArgumentException(
+        s"dict_bitmap: universe has $un elements but nWords=$nWords holds " +
+          s"only ${nWords.toLong * 64} bits; pass nWords >= ceil(|universe|/64)")
+
   def computeString(elems: ArrayData, universe: ArrayData, nWords: Int): GenericArrayData = {
     val words = new Array[Long](nWords)
     val n = elems.numElements()
     val un = universe.numElements()
+    checkCapacity(un, nWords)
     var i = 0
     while (i < n) {
       if (!elems.isNullAt(i)) {
@@ -104,6 +111,7 @@ object DictBitmap {
     val words = new Array[Long](nWords)
     val n = elems.numElements()
     val un = universe.numElements()
+    checkCapacity(un, nWords)
     var i = 0
     while (i < n) {
       if (!elems.isNullAt(i)) {

@@ -1395,8 +1395,14 @@ object QueriesLlm {
           // combined collision-free key (band_key < 2^31 * 31^3):
           // single-column bucket spec == single-column join key
           .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+        // length(text) >= 3 is mirrored in the oracle's corpus CTE: for
+        // sub-3-char strings native shingle_hashes falls back to one
+        // whole-string hash (doc kept) while the oracle's 3-gram
+        // comprehension yields an empty list (doc dropped) — filtering
+        // identically on both sides removes the engine asymmetry.
         val corpus = table(spark, dir, "documents")
-          .filter(col("doc_id") % 4 === 0).select("doc_id", "lang", "text")
+          .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+          .select("doc_id", "lang", "text")
         val index = signed(corpus).localCheckpoint(true) // docs write + bands write
         graft.sources.Bucketed.writeBucketed(index.select("doc_id", "hl", "sz"),
           "graft_q99_docs", 8, Seq("doc_id"), path = Some(docPath))
@@ -1461,7 +1467,8 @@ object QueriesLlm {
              |${prefix}bands AS (
              |  $bandSelects)""".stripMargin
         }
-        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0),
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
            |wave AS (
            |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus WHERE doc_id % 20 = 0
            |  UNION ALL
@@ -1524,10 +1531,16 @@ object QueriesLlm {
           .withColumn("mean_len_x100", when(col("n_tok") > 0,
             (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
               * 100 / col("n_tok")).cast("long")).otherwise(0L))
-          .withColumn("gs", transform(
-            sequence(lit(1), greatest(size(col("toks")) - 1, lit(0))),
-            i => concat(element_at(col("toks"), i), lit(" "),
-              element_at(col("toks"), i + 1))))
+          // the size>=2 branch is load-bearing, not defensive:
+          // sequence(1, 0) yields [1, 0] (descending), so the
+          // un-guarded transform evaluates element_at(toks, 0) — which
+          // ALWAYS throws — on any 0/1-token doc. greatest() cannot fix
+          // that; only skipping the transform entirely can.
+          .withColumn("gs", when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>")))
           .withColumn("top_c", TF.elementCountStats(col("gs")).getField("top_c"))
           .select(col("doc_id"), col("text"),
             (TF.langId(col("text")) =!= "und").as("f_lang"),

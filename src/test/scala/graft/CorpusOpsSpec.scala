@@ -70,4 +70,22 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 2: n=1, sum=2, avg=2000, min=2, below-mean: c
     assert(rows(2L) == ((1L, 2L, 2000L, 2L, 1L)))
   }
+
+  test("q100: empty and 1-token docs flow through the funnel without crashing") {
+    // regression: the bigram transform over sequence(1, size-1) used to
+    // evaluate element_at(toks, 0) on these docs (sequence(1,0) is the
+    // DESCENDING [1,0], not empty) and threw under ANSI mode
+    val healthy = ("the quick brown fox jumps over the lazy dog near " +
+      "the old stone bridge today again") // 16 tokens, plausible lengths
+    val dir = fixture(Seq(
+      (0L, "", "en", "s"),
+      (1L, "one", "en", "s"),
+      (2L, healthy, "en", "s")))
+    val rows = q("q100_cleaning_funnel").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == 4)
+    // stage 1 (lang_id) sees all 3 docs plus q100's injected copy of
+    // doc 0 (doc_id % 9 == 0); nothing downstream throws
+    assert(rows(1L)._1 + rows(1L)._2 == 4L)
+  }
 }

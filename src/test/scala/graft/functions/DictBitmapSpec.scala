@@ -46,6 +46,19 @@ class DictBitmapSpec extends SparkSpec {
     assert(r == Seq(3L, 1L, 2L))
   }
 
+  test("undersized nWords fails loudly instead of corrupting memory") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT dict_bitmap(array(1L), array(" +
+        (0L until 65L).mkString("L,") + "L), 1) AS bm").collect()
+    }
+    // the cause chain ends in our capacity check, not an AIOOBE
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("dict_bitmap: universe has 65")))
+  }
+
   test("matches the former dataflow build through withBitmap on both element types") {
     // string elements
     val docs = Seq(
