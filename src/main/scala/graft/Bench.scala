@@ -59,7 +59,18 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$allRuns,"sf":"$sfDir"}""")
+    // stdout gets the contract line WITHOUT the per-run arrays — the
+    // driver's tail capture truncated the combined form past ~100
+    // queries, leaving BENCH_r*.json unparseable; the full per-run
+    // detail goes to tmp/bench_now.json instead
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$allRuns,"sf":"$sfDir"}"""
+    try {
+      new java.io.File("tmp").mkdirs()
+      val w = new java.io.PrintWriter("tmp/bench_now.json")
+      try w.println(full) finally w.close()
+    } catch { case _: java.io.IOException => () } // bench result already on stdout
     spark.stop()
   }
 }

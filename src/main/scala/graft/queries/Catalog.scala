@@ -6,5 +6,6 @@ package graft.queries
 object Catalog {
   def all: Seq[Q] =
     QueriesRelational.all ++ QueriesStreaming.all ++ QueriesGenomic.all ++
-      QueriesPipeline.all ++ QueriesLlm.all ++ QueriesSources.all
+      QueriesPipeline.all ++ QueriesLlm.all ++ QueriesSources.all ++
+      QueriesJdbc.all
 }

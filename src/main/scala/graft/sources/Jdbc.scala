@@ -18,22 +18,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *    database (one statement, transactional, no per-row round trips) —
   *    the Spark jdbc writer deliberately never issues row-wise UPDATEs.
   *
-  * No database exists in this environment, so these are exercised
-  * through their parquet-mode equivalents in Verify; the option plumbing
-  * below is the standard `DataFrameWriter.jdbc` surface.
+  * Gated end-to-end against embedded Derby (`jdbc:derby:` — bundled
+  * with the Spark distribution) in query q105: append with 10k batches,
+  * staging + one MERGE, partitioned read-back, DuckDB computing the
+  * expected post-MERGE state from the same parquet inputs.
   */
 object Jdbc {
 
   val DefaultBatchSize = 10000
 
-  /** Append `df` to `table` in batches (the K2/K3/K8 sink). */
+  /** Append `df` to `table` in batches (the K2/K3/K8 sink).
+    * `columnTypes` is the writer's `createTableColumnTypes` — used on
+    * first-write table creation to pin string columns to VARCHAR(n)
+    * instead of the dialect default (Derby's default is CLOB, which
+    * cannot appear in comparisons). */
   def append(df: DataFrame, url: String, table: String,
              props: java.util.Properties = new java.util.Properties(),
              batchSize: Int = DefaultBatchSize,
-             numPartitions: Option[Int] = None): Unit = {
+             numPartitions: Option[Int] = None,
+             columnTypes: Option[String] = None): Unit = {
     val base = df.write.mode(SaveMode.Append)
       .option("batchsize", batchSize)
-    val w = numPartitions.fold(base)(n => base.option("numPartitions", n))
+    val w0 = numPartitions.fold(base)(n => base.option("numPartitions", n))
+    val w = columnTypes.fold(w0)(t => w0.option("createTableColumnTypes", t))
     w.jdbc(url, table, props)
   }
 
@@ -44,18 +51,47 @@ object Jdbc {
   def stageForMerge(df: DataFrame, url: String, stagingTable: String,
                     targetTable: String, keyCols: Seq[String],
                     setCols: Seq[String],
-                    props: java.util.Properties = new java.util.Properties()): String = {
-    df.write.mode(SaveMode.Overwrite)
+                    props: java.util.Properties = new java.util.Properties(),
+                    columnTypes: Option[String] = None): String = {
+    val w0 = df.write.mode(SaveMode.Overwrite)
       .option("batchsize", DefaultBatchSize)
-      .jdbc(url, stagingTable, props)
-    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
-    val set = setCols.map(c => s"t.$c = s.$c").mkString(", ")
-    val cols = (keyCols ++ setCols).mkString(", ")
-    val vals = (keyCols ++ setCols).map(c => s"s.$c").mkString(", ")
+    val w = columnTypes.fold(w0)(t => w0.option("createTableColumnTypes", t))
+    w.jdbc(url, stagingTable, props)
+    // double-quote column identifiers: the Spark JDBC writer creates
+    // columns QUOTED (case-sensitive), so an unquoted reference would
+    // be case-folded by the database and miss them
+    def qi(id: String) = "\"" + id + "\""
+    val on = keyCols.map(k => s"t.${qi(k)} = s.${qi(k)}").mkString(" AND ")
+    // SET columns stay unqualified (SQL standard; Derby rejects a
+    // target-alias prefix in the SET clause, Oracle accepts either)
+    val set = setCols.map(c => s"${qi(c)} = s.${qi(c)}").mkString(", ")
+    val cols = (keyCols ++ setCols).map(qi).mkString(", ")
+    val vals = (keyCols ++ setCols).map(c => s"s.${qi(c)}").mkString(", ")
     s"""MERGE INTO $targetTable t USING $stagingTable s ON ($on)
        |WHEN MATCHED THEN UPDATE SET $set
        |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
   }
+
+  /** Run one DML/DDL statement on the database; returns the affected-row
+    * count (the MERGE executor for [[stageForMerge]]'s template). */
+  def execute(url: String, sql: String,
+              props: java.util.Properties = new java.util.Properties()): Int = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+
+  /** Boot down one embedded-Derby database so its directory can be
+    * deleted/recreated within the same JVM. A successful shutdown
+    * SIGNALS via SQLException (state 08006) by Derby contract; a
+    * database that was never booted throws too — both are fine. */
+  def shutdownEmbeddedDerby(dbDir: String): Unit =
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
 
   /** Partition-pruned parallel read (the S6-S11 scan side): predicates
     * list makes one JDBC partition per predicate (the reference's
