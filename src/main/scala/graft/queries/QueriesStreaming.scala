@@ -76,26 +76,38 @@ object QueriesStreaming {
     // effect). The gate aggregates only arrival-order-independent facts
     // (the kept key SET), so the DuckDB oracle is exact: any duplicate
     // key in the store (idempotence break) or missing key
-    // (completeness break) fails rows/hash. 100 TB: each micro-batch is
-    // one shuffled anti-join against the store keyed by user_id — the
-    // same partitioning story as the batch upsert (q63).
+    // (completeness break) fails rows/hash.
+    //
+    // 100 TB: the store is a BUCKETED table on user_id, so its side of
+    // every micro-batch anti-join enters the sort-merge join
+    // exchange-free — the store's shuffle was paid once at write time,
+    // and each wave's appended files land already bucketed. Only the
+    // wave shuffles, every batch, forever (the q98/q99 invariant;
+    // `BucketedJoinSpec` asserts this exact left_anti plan shape). An
+    // unbucketed store would re-shuffle the whole corpus per wave —
+    // the one shape that cannot survive continuous ingestion.
     Q("q91_stream_upsert",
       (spark, dir) => {
         val root = "/root/repo/tmp/streamgate"
         val src = s"$root/src"
         val store = s"$root/store"
+        val storeTable = "graft_q91_store"
         def rmrf(p: java.io.File): Unit = {
           if (p.isDirectory) p.listFiles().foreach(rmrf)
           p.delete()
         }
+        spark.sql(s"DROP TABLE IF EXISTS $storeTable")
         rmrf(new java.io.File(root))
         table(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"))
           .repartition(8, col("event_id"))
           .write.mode("overwrite").parquet(src)
-        // seed an empty store so every batch reads + anti-joins the
-        // same path (no first-batch special case)
-        spark.read.parquet(src).limit(0).write.parquet(store)
+        // seed an empty BUCKETED store so every batch anti-joins the
+        // same table (no first-batch special case) and the store scan
+        // always reports its HashPartitioning to the planner
+        graft.sources.Bucketed.writeBucketed(
+          spark.read.parquet(src).limit(0), storeTable, 8,
+          Seq("user_id"), path = Some(store))
         val schema = spark.read.parquet(src).schema
         def pass(n: Int): Unit = {
           val q = spark.readStream.schema(schema)
@@ -104,17 +116,21 @@ object QueriesStreaming {
             .option("checkpointLocation", s"$root/ckpt_$n")
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              val existing = batch.sparkSession.read.parquet(store)
-              graft.streaming.StreamingOps
-                .upsertBatch(batch, existing, Seq("user_id"))
-                .write.mode("append").parquet(store)
+              val ss = batch.sparkSession
+              val inserts = graft.streaming.StreamingOps
+                .upsertBatch(batch, ss.table(storeTable), Seq("user_id"))
+                // materialize BEFORE appending: the write must not
+                // re-read the table it is appending to
+                .localCheckpoint(true)
+              graft.sources.Bucketed.writeBucketed(inserts, storeTable, 8,
+                Seq("user_id"), mode = "append", path = Some(store))
             }
             .start()
           q.awaitTermination()
         }
         pass(1) // 4 micro-batches of 2 files
         pass(2) // full replay: every key already present, 0 inserts
-        spark.read.parquet(store)
+        spark.table(storeTable)
           .groupBy((col("user_id") % 10).as("bucket"))
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("user_id")).as("n_users"),

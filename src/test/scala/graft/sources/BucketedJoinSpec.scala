@@ -61,4 +61,38 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_alias_bkt")
     }
   }
+
+  test("q91 shape: left_anti vs the bucketed store shuffles only the wave side") {
+    // the streaming upsert's per-batch plan: wave.dropDuplicates(key)
+    //   .join(store, key, left_anti) — the store scan must feed the
+    // join exchange-free (its shuffle was paid at write time), and the
+    // wave's dedup exchange must be the ONLY exchange in the plan, so
+    // per-batch cost is wave-sized no matter how large the store grows
+    val store = (0 until 5000).map(i => (i.toLong, i.toLong)).toDF("user_id", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_q91s_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Bucketed.writeBucketed(store, "graft_q91s_bkt", 8, Seq("user_id"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // shuffle partitions = bucket count (the production config for a
+      // bucketed-store pipeline): the wave's dedup exchange then lands
+      // pre-aligned with the store's buckets and is reused by the join
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val wave = (0 until 300).map(i => (i.toLong * 17, i.toLong)).toDF("user_id", "x")
+      val j = wave.dropDuplicates("user_id")
+        .join(spark.table("graft_q91s_bkt").select("user_id"), Seq("user_id"), "left_anti")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // 300 keys stride 17: those < 5000 and divisible by 17 collide
+      assert(j.count() == wave.select("user_id").distinct()
+        .filter($"user_id" >= 5000).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.sql("DROP TABLE IF EXISTS graft_q91s_bkt")
+    }
+  }
 }
