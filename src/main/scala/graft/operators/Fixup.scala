@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VariantFunctions
+import graft.functions.{VariantFunctions, ZygosityFunctions}
 
 /** Fix-up jobs (SURVEY §5.5) — the reference's maintenance pattern: a
   * full-table scan that RE-DERIVES a stored column from its source
@@ -46,4 +47,60 @@ object Fixup {
   def frameshiftDrift(vt: DataFrame): DataFrame =
     drift(vt, "frameshift",
       VariantFunctions.frameshiftFlag(col("ref_nuc"), col("var_nuc")))
+
+  /** GenicStatusFixUp (`fixup/GenicStatusFixUp.java:103-109`): a
+    * variant is "genic" iff any gene interval contains its position —
+    * the one fixup whose re-derivation is NOT a projection but an
+    * interval join (the reference issues one indexed range query per
+    * row; here it's one binned broadcast join + a per-id aggregation,
+    * the q25 shape). `variants` must carry unique `vid`,
+    * `chromosome`, `start_pos`, `genic_status`; `genes` is the
+    * (g_chr, g_start, g_stop) dim. Compare is effectively the
+    * reference's case-insensitive one (both sides lowercase). */
+  def genicStatusDrift(variants: DataFrame, genes: DataFrame): DataFrame = {
+    val hits = RangeJoin.pointInIntervalLeftOuter(
+        variants.select(col("vid"), col("chromosome"), col("start_pos")),
+        genes, Seq("chromosome"), Seq("g_chr"), "start_pos",
+        "g_start", "g_stop", binSize = 100000L, broadcastIntervals = true)
+      .groupBy(col("vid"))
+      .agg(max(when(col("gene_id").isNotNull, 1).otherwise(0)).as("__hit"))
+      .select(col("vid"),
+        when(col("__hit") === 1, "genic").otherwise("intergenic").as("recomputed"))
+    variants.join(hits, "vid")
+      .withColumn("drifted", !(col("genic_status") <=> col("recomputed")))
+  }
+
+  /** NumAllelesFixUp (`fixup/NumAllelesFixUp.java:46-99`): among rows
+    * with percent-read > 0, the allele count at one (sample, chr, pos)
+    * site is the site's row count, plus one if any row there saw the
+    * reference allele. One window aggregation — the shuffle is the
+    * reference's ORDER BY sample,chromosome,start_pos cursor, keyed
+    * identically. Scoped to percent-read > 0 exactly as the job's
+    * WHERE clause; out-of-scope rows are never touched. */
+  def numAlleleDrift(variants: DataFrame): DataFrame = {
+    val w = Window.partitionBy(
+      col("sample_id"), col("chromosome"), col("start_pos"))
+    variants.filter(col("zygosity_percent_read") > 0)
+      .withColumn("recomputed",
+        (count(lit(1)).over(w) +
+          max(when(col("zygosity_ref_allele") === "Y", 1L).otherwise(0L)).over(w))
+          .cast("int"))
+      .withColumn("drifted", !(col("zygosity_num_allele") <=> col("recomputed")))
+  }
+
+  /** ZygosityPercReadFixUp scope (`fixup/ZygosityPercReadFixUp.java:53-54`):
+    * SNV rows whose stored percent-read disagrees with var_freq — the
+    * job rewrites percent := var_freq and re-derives the status. */
+  def zygosityPercentScope(variants: DataFrame): DataFrame =
+    variants.filter(col("variant_type") === "snv" &&
+      !(col("zygosity_percent_read") <=> col("var_freq")))
+
+  /** The gender-free status ladder that fixup uses
+    * (`ZygosityPercReadFixUp.getZygosity:130-137` — unlike the loader's
+    * `ZygosityFunctions.zygosityStatus`, no hemizygous branch). */
+  def zygosityLadder(pct: Column): Column =
+    when(pct === ZygosityFunctions.HomozygousPercent, ZygosityFunctions.Homozygous)
+      .when(pct >= ZygosityFunctions.PossiblyHomozygousPercent,
+        ZygosityFunctions.PossiblyHomozygous)
+      .otherwise(ZygosityFunctions.Heterozygous)
 }

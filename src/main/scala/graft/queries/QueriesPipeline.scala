@@ -273,6 +273,77 @@ object QueriesPipeline {
        |SELECT 'frameshift:after_fix', false, '*', '*', 0, 0
        |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // ============ q106: genic/num-allele/zygosity-percent fixups ========
+
+  private val fixup2Oracle: String =
+    s"""WITH variants AS (${Synthetic.variantsSql}),
+       |genes AS (${Synthetic.genesSql}),
+       |b0 AS (
+       |  SELECT vid, min(sample_id) AS sample_id, min(chromosome) AS chromosome,
+       |    min(start_pos) AS start_pos, min(ref_nuc) AS ref_nuc,
+       |    min(var_nuc) AS var_nuc
+       |  FROM variants GROUP BY vid),
+       |b AS (
+       |  SELECT *, CAST(vid % 101 AS INT) AS var_freq,
+       |    CASE WHEN vid % 4 = 0 THEN 'Y' ELSE 'N' END AS zra,
+       |    CASE WHEN ref_nuc LIKE '%-%' OR var_nuc LIKE '%-%' THEN 'del'
+       |         WHEN length(ref_nuc) < length(var_nuc) THEN 'ins'
+       |         WHEN length(ref_nuc) > length(var_nuc) THEN 'del'
+       |         WHEN length(ref_nuc) = 1 AND length(var_nuc) = 1 THEN 'snv'
+       |         ELSE NULL END AS variant_type,
+       |    CAST(CASE WHEN vid % 19 = 0 THEN (vid % 101 + 7) % 101
+       |              ELSE vid % 101 END AS INT) AS zpr
+       |  FROM b0),
+       |bz AS (
+       |  SELECT *, CASE WHEN zpr = 100 THEN 'homozygous'
+       |                 WHEN zpr >= 85 THEN 'possibly homozygous'
+       |                 ELSE 'heterozygous' END AS zstat FROM b),
+       |gt AS (
+       |  SELECT bz.vid,
+       |    CASE WHEN max(CASE WHEN g.gene_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+       |      THEN 'genic' ELSE 'intergenic' END AS truth
+       |  FROM bz LEFT JOIN genes g
+       |    ON g.g_chr = bz.chromosome
+       |      AND bz.start_pos BETWEEN g.g_start AND g.g_stop
+       |  GROUP BY bz.vid),
+       |st AS (
+       |  SELECT bz.*, CASE WHEN bz.vid % 13 = 0
+       |      THEN (CASE WHEN truth = 'genic' THEN 'intergenic' ELSE 'genic' END)
+       |      ELSE truth END AS genic_status, truth
+       |  FROM bz JOIN gt ON gt.vid = bz.vid),
+       |na AS (
+       |  SELECT vid, CAST(count(*) OVER w
+       |      + max(CASE WHEN zra = 'Y' THEN 1 ELSE 0 END) OVER w AS INT) AS na_comp
+       |  FROM st WHERE zpr > 0
+       |  WINDOW w AS (PARTITION BY sample_id, chromosome, start_pos)),
+       |st2 AS (
+       |  SELECT st.*,
+       |    coalesce(na.na_comp + CASE WHEN st.vid % 17 = 0 THEN 1 ELSE 0 END, 1) AS zna,
+       |    na.na_comp
+       |  FROM st LEFT JOIN na ON na.vid = st.vid)
+       |SELECT 'genic_status' AS check_name,
+       |  (genic_status IS DISTINCT FROM truth) AS drifted,
+       |  genic_status AS stored, truth AS recomputed,
+       |  count(*) AS n, CAST(sum(vid) AS BIGINT) AS sum_vid
+       |FROM st2 GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT 'num_allele', (zna IS DISTINCT FROM na_comp),
+       |  CAST(zna AS VARCHAR), CAST(na_comp AS VARCHAR),
+       |  count(*), CAST(sum(vid) AS BIGINT)
+       |FROM st2 WHERE zpr > 0 GROUP BY 1, 2, 3, 4
+       |UNION ALL
+       |SELECT 'zygosity_perc_read', true, zstat,
+       |  CASE WHEN var_freq = 100 THEN 'homozygous'
+       |       WHEN var_freq >= 85 THEN 'possibly homozygous'
+       |       ELSE 'heterozygous' END,
+       |  count(*), CAST(sum(vid) AS BIGINT)
+       |FROM st2 WHERE variant_type = 'snv' AND zpr <> var_freq
+       |GROUP BY 1, 2, 3, 4
+       |UNION ALL SELECT 'genic_status:after_fix', false, '*', '*', 0, 0
+       |UNION ALL SELECT 'num_allele:after_fix', false, '*', '*', 0, 0
+       |UNION ALL SELECT 'zygosity_perc_read:after_fix', false, '*', '*', 0, 0
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   // ================= q64: positional pairing join =====================
 
   private val pairingOracle: String =
@@ -472,6 +543,131 @@ object QueriesPipeline {
             col("recomputed"))
       },
       Some(fixupOracle)),
+
+    // §5.5 complete: the three remaining fixups as drift jobs.
+    //  - genic_status (GenicStatusFixUp.java:35-109): re-derivation is
+    //    an interval join (binned broadcast, q25's shape), not a
+    //    projection — the most valuable fixup.
+    //  - num_allele (NumAllelesFixUp.java:25-110): per-(sample, chr,
+    //    pos) site row count + ref-allele bump over the percent>0
+    //    scope — one window aggregation, keyed exactly like the
+    //    reference's ORDER BY cursor.
+    //  - zygosity_percent_read (ZygosityPercReadFixUp.java:35-117):
+    //    SNV rows whose stored percent disagrees with var_freq get
+    //    percent := var_freq and the gender-free status ladder.
+    // The fixture corrupts disjoint vid strata (%13 / %17 / %19), runs
+    // each drift report, applies all three fixes (genic, then percent
+    // — which re-shapes the percent>0 scope — then num_allele over the
+    // POST-fix scope, since that is the state a re-run job would see),
+    // persists the fixed table, and re-asserts zero drift per check.
+    // 100 TB: one broadcast interval join + one window shuffle +
+    // map-only projections; the after-fix recheck repeats the same.
+    Q("q106_fixup_drift2",
+      (spark, dir) => {
+        import graft.operators.Fixup
+        val g = Synthetic.genes(spark, dir)
+        // unique-vid stored table (vid repeats in the synthetic corpus;
+        // fixups address rows by id, so the fixture dedups per vid)
+        val b = Synthetic.variants(spark, dir)
+          .groupBy(col("vid"))
+          .agg(min(col("sample_id")).as("sample_id"),
+            min(col("chromosome")).as("chromosome"),
+            min(col("start_pos")).as("start_pos"),
+            min(col("ref_nuc")).as("ref_nuc"),
+            min(col("var_nuc")).as("var_nuc"))
+          .withColumn("var_freq", (col("vid") % 101).cast("int"))
+          .withColumn("zygosity_ref_allele",
+            when(col("vid") % 4 === 0, "Y").otherwise("N"))
+          .withColumn("variant_type",
+            VariantFunctions.variantType(col("ref_nuc"), col("var_nuc")))
+          // corruption C: vid%19 rows store a wrong percent (+7 mod 101
+          // is never a fixpoint), with a status CONSISTENT with the
+          // wrong percent — exactly the drift the reference job hunts
+          .withColumn("zygosity_percent_read",
+            when(col("vid") % 19 === 0,
+              ((col("var_freq") + 7) % 101).cast("int"))
+              .otherwise(col("var_freq")))
+          .withColumn("zygosity_status",
+            Fixup.zygosityLadder(col("zygosity_percent_read")))
+        // corruption A: genic truth flipped on vid%13 rows
+        val withGenic = Fixup.genicStatusDrift(
+            b.withColumn("genic_status", lit("?")), g)
+          .withColumn("genic_status",
+            when(col("vid") % 13 === 0,
+              when(col("recomputed") === "genic", "intergenic")
+                .otherwise("genic"))
+              .otherwise(col("recomputed")))
+          .drop("recomputed", "drifted")
+        // corruption B: site-count truth (over the stored percent>0
+        // scope) bumped by one on vid%17 rows; out-of-scope rows
+        // store the untouched default 1
+        val naTruth = Fixup.numAlleleDrift(
+            withGenic.withColumn("zygosity_num_allele", lit(0)))
+          .select(col("vid"), col("recomputed").as("__na"))
+        val stored0 = withGenic.join(naTruth, Seq("vid"), "left_outer")
+          .withColumn("zygosity_num_allele",
+            coalesce(col("__na") +
+              when(col("vid") % 17 === 0, 1).otherwise(0), lit(1)))
+          .drop("__na")
+        val path = "/root/repo/tmp/filegate/fixup2_variants"
+        stored0.write.mode("overwrite").parquet(path)
+        val stored = spark.read.parquet(path)
+        def report(name: String, d: org.apache.spark.sql.DataFrame,
+                   storedC: org.apache.spark.sql.Column,
+                   recomputedC: org.apache.spark.sql.Column) =
+          d.groupBy(lit(name).as("check_name"), col("drifted"),
+              storedC.cast("string").as("stored"),
+              recomputedC.cast("string").as("recomputed"))
+            .agg(count(lit(1)).as("n"), sum(col("vid")).as("sum_vid"))
+        def afterFix(name: String, stillDrifted: org.apache.spark.sql.DataFrame) =
+          stillDrifted.agg(count(lit(1)).as("n"))
+            .select(lit(name).as("check_name"), lit(false).as("drifted"),
+              lit("*").as("stored"), lit("*").as("recomputed"),
+              col("n"), lit(0L).as("sum_vid"))
+        val a = Fixup.genicStatusDrift(stored, g)
+        val nA = Fixup.numAlleleDrift(stored)
+        val c = Fixup.zygosityPercentScope(stored)
+          .withColumn("recomputed", Fixup.zygosityLadder(col("var_freq")))
+          .withColumn("drifted", lit(true))
+        // apply all three fixes: genic, then percent/status, then
+        // num_allele recomputed over the post-fix percent>0 scope
+        val fixedAC = a.withColumn("genic_status", col("recomputed"))
+          .drop("recomputed", "drifted")
+          .withColumn("__snvFix",
+            col("variant_type") === "snv" &&
+              !(col("zygosity_percent_read") <=> col("var_freq")))
+          .withColumn("zygosity_percent_read",
+            when(col("__snvFix"), col("var_freq"))
+              .otherwise(col("zygosity_percent_read")))
+          .withColumn("zygosity_status",
+            when(col("__snvFix"),
+              Fixup.zygosityLadder(col("zygosity_percent_read")))
+              .otherwise(col("zygosity_status")))
+          .drop("__snvFix")
+        val naFixed = Fixup.numAlleleDrift(fixedAC)
+          .select(col("vid"), col("recomputed").as("__na"))
+        val fixedPath = s"$path-fixed"
+        fixedAC.join(naFixed, Seq("vid"), "left_outer")
+          .withColumn("zygosity_num_allele",
+            coalesce(col("__na"), col("zygosity_num_allele")))
+          .drop("__na")
+          .write.mode("overwrite").parquet(fixedPath)
+        val fixed = spark.read.parquet(fixedPath)
+        report("genic_status", a, col("genic_status"), col("recomputed"))
+          .unionByName(report("num_allele", nA,
+            col("zygosity_num_allele"), col("recomputed")))
+          .unionByName(report("zygosity_perc_read", c,
+            col("zygosity_status"), col("recomputed")))
+          .unionByName(afterFix("genic_status:after_fix",
+            Fixup.genicStatusDrift(fixed, g).filter(col("drifted"))))
+          .unionByName(afterFix("num_allele:after_fix",
+            Fixup.numAlleleDrift(fixed).filter(col("drifted"))))
+          .unionByName(afterFix("zygosity_perc_read:after_fix",
+            Fixup.zygosityPercentScope(fixed)))
+          .orderBy(col("check_name"), col("drifted"), col("stored"),
+            col("recomputed"))
+      },
+      Some(fixup2Oracle)),
 
     Q("q64_pairing_join",
       (spark, dir) => {
