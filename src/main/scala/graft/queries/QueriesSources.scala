@@ -98,6 +98,25 @@ object QueriesSources {
   // gzip files.
 
   private val Cf2Path = s"$FixtureDir/cf2"
+  private val Cf2FanPath = s"$FixtureDir/cf2_fanout"
+
+  // q107 (K1 per-strain fan-out): unlike q79's oracle (which re-reads
+  // the written .gz files to gate FORMAT interop), this oracle
+  // reconstructs the per-strain expectation from the SOURCE rows — a
+  // row fanned into the wrong strain directory, dropped by the
+  // partitioned write, or corrupted in flight shifts a per-strain
+  // aggregate and fails the hash.
+  private val cf2FanoutOracle: String =
+    s"""WITH variants AS (${Synthetic.variantsSql})
+       |SELECT CASE CAST(sample_id % 3 AS INT)
+       |    WHEN 0 THEN 'BN' WHEN 1 THEN 'SHR_OLA' ELSE 'WKY' END AS strain,
+       |  count(*) AS n,
+       |  CAST(sum(start_pos) AS BIGINT) AS sum_pos,
+       |  CAST(sum(total_depth) AS BIGINT) AS sum_depth,
+       |  CAST(sum(count_a + count_c + count_g + count_t) AS BIGINT) AS sum_reads,
+       |  CAST(count(DISTINCT vid) AS BIGINT) AS n_rs
+       |FROM variants WHERE kind >= 2
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val cf2Oracle: String = {
     val typed = Cf2.schema.fields.map { f =>
@@ -562,6 +581,58 @@ object QueriesSources {
           .orderBy(col("chromosome"))
       },
       Some(cf2Oracle)),
+
+    // K1's per-strain fan-out: the reference converter keeps one open
+    // CF2 writer per strain and routes each line by strain name
+    // (`VcfToCommonFormat2Converter.getOutputFile:393-405`). Spark-first
+    // that's one partitioned write — `partitionBy(strain)` fans the
+    // frame into strain=<name>/ directories in a single pass (no
+    // per-strain job, no open-file map bounded by one JVM). The gate
+    // reads EACH strain directory back independently, tags rows with
+    // the directory literal, and compares per-strain aggregates against
+    // a source-side reconstruction. Directory naming: Spark encodes the
+    // partition VALUE in the path; the reference's '/'→'_' filename
+    // mangling is unnecessary here because the fixture strains carry no
+    // separator (documented deviation — path escaping, not semantics).
+    Q("q107_cf2_fanout",
+      (spark, dir) => {
+        val strains = Seq("BN", "SHR_OLA", "WKY")
+        val cf2 = Synthetic.variants(spark, dir)
+          .filter(col("kind") >= 2) // SNVs: empty-string-free fixture (q79's rule)
+          .selectExpr(
+            "chromosome",
+            "CAST(start_pos AS BIGINT) AS position",
+            "ref_nuc", "var_nuc",
+            "concat('rs', CAST(vid AS STRING)) AS rs_id",
+            "CAST(count_a AS INT) AS reads_a",
+            "CAST(count_c AS INT) AS reads_c",
+            "CAST(count_g AS INT) AS reads_g",
+            "CAST(count_t AS INT) AS reads_t",
+            "CAST(total_depth AS INT) AS total_depth",
+            "concat(chromosome, ':', CAST(start_pos AS STRING)) AS hgvs_name",
+            "CAST(vid % 1000000 AS INT) AS rgd_id",
+            "CAST(allele_depth AS INT) AS allele_depth",
+            "CAST(allele_depth % 5 AS INT) AS allele_count",
+            "CAST(read_depth AS INT) AS read_depth",
+            "'N' AS padding_base",
+            "CASE CAST(sample_id % 3 AS INT) WHEN 0 THEN 'BN' " +
+              "WHEN 1 THEN 'SHR_OLA' ELSE 'WKY' END AS strain")
+        Cf2.write(cf2, Cf2FanPath, partitionBy = Seq("strain"),
+          compression = "gzip")
+        strains.map { s =>
+          Cf2.read(spark, s"$Cf2FanPath/strain=$s")
+            .withColumn("strain", lit(s))
+        }.reduce(_ unionByName _)
+          .groupBy(col("strain"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("position")).as("sum_pos"),
+            sum(col("total_depth")).cast("long").as("sum_depth"),
+            sum(col("reads_a") + col("reads_c") + col("reads_g") + col("reads_t"))
+              .cast("long").as("sum_reads"),
+            countDistinct(col("rs_id")).as("n_rs"))
+          .orderBy(col("strain"))
+      },
+      Some(cf2FanoutOracle)),
 
     Q("q80_polyphen_load",
       (spark, dir) => {
