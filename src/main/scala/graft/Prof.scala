@@ -143,6 +143,29 @@ object Prof {
     time("q92 operator end-to-end")(println(s"PROF   q92 op pairs: " +
       graft.operators.SetSimJoin.prefixFilterJoin(bg, "doc_id", "sh", 700).count()))
 
+    // q41's band scheme re-run over WORD-BIGRAM shingles (the
+    // production shingling — Lee et al. use word n-grams) instead of
+    // char 3-grams: isolates how much of q41's candidate degeneracy is
+    // the SHINGLE GRANULARITY (every doc shares the common char
+    // trigrams, so char-level Jaccard stays high even on a realistic
+    // vocabulary) vs the corpus. `bg` is the hashed-bigram table built
+    // for the q92 section above.
+    val wsig = bg.select(col("doc_id"), col("sh").as("hl"))
+      .withColumn("sz", size(col("hl")).cast("long"))
+      .filter(col("sz") > 0)
+      .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+      .localCheckpoint(true)
+    val wbands = wsig.select(col("doc_id"), col("sz"),
+      posexplode(array((0 until Bands).map(b =>
+        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+    val wcand = wbands.as("a").join(wbands.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        sizeRatioOk(col("a.sz"), col("b.sz")))
+    time("q41w word-shingle bands")(
+      println(s"PROF   q41w cand rows: ${wcand.count()}"))
+
     spark.stop()
   }
 }
