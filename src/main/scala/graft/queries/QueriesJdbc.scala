@@ -78,6 +78,12 @@ object QueriesJdbc {
           setCols = Seq("chromosome", "start_pos", "ref_nuc", "var_nuc",
             "total_depth"),
           props, columnTypes = Some(varcharTypes))
+        // index the merge key on both sides BEFORE executing: Derby's
+        // MERGE is a nested-loop match without one (quadratic — 20+
+        // minutes at 60k rows; the reference's Oracle tables get this
+        // index for free from their PKs)
+        Jdbc.createIndex(url, "variant", Seq("vid"), "variant_vid_ix", props)
+        Jdbc.createIndex(url, "variant_stage", Seq("vid"), "stage_vid_ix", props)
         Jdbc.execute(url, merge, props)
         val back = Jdbc.readPartitioned(spark, url, "variant",
           // quoted: the writer created case-sensitive lowercase columns
