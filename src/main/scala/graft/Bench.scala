@@ -37,8 +37,19 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    /** 1-minute loadavg at the moment a run starts — recorded per run
+      * so a co-tenant spike on this shared box is visible in the
+      * artifact itself instead of being reconstructed forensically a
+      * round later (three rounds of bench numbers have swung 2-9x on
+      * untouched code). */
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
     val results = selected.map { q =>
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
+        val la = loadavg()
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch { case e: Throwable =>
           // stderr, so the stdout JSON line stays parseable — but never
@@ -49,28 +60,37 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        dt
+        (dt, la)
       }
-      q.name -> times
+      q.name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.map(_._1).min }
       .mkString("{", ",", "}")
     val allRuns = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(_._1).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    // stdout gets the contract line WITHOUT the per-run arrays — the
-    // driver's tail capture truncated the combined form past ~100
-    // queries, leaving BENCH_r*.json unparseable; the full per-run
-    // detail goes to tmp/bench_now.json instead
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"all_runs":$allRuns,"sf":"$sfDir"}"""
+    val loads = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
+    // stdout gets ONLY the headline fields: with 100+ queries the
+    // per-query map alone outgrows the driver's tail capture, which
+    // left BENCH_r05/r06.json unparseable (`parsed: null`). The full
+    // per-query minima, per-run arrays, and per-run loadavg all land
+    // in the detail file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":$qs,"all_runs":$allRuns,"loadavg":$loads,"sf":"$sfDir"}"""
+    // absolute path: a run from another working directory must not
+    // scatter the detail file, and a failed write must say so
+    val detailPath = "/root/repo/tmp/bench_now.json"
     try {
-      new java.io.File("tmp").mkdirs()
-      val w = new java.io.PrintWriter("tmp/bench_now.json")
+      new java.io.File(detailPath).getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(full) finally w.close()
-    } catch { case _: java.io.IOException => () } // bench result already on stdout
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] WARN: could not write $detailPath: $e")
+    }
     spark.stop()
   }
 }

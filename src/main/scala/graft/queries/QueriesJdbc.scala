@@ -22,18 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object QueriesJdbc {
 
-  private def rmrf(p: java.io.File): Unit = {
-    if (p.isDirectory) p.listFiles().foreach(rmrf)
-    p.delete()
-  }
-
   def all: Seq[Q] = Seq(
 
     // K2 (batched INSERT, batchsize 10000) + K5 (staging + MERGE upsert)
     // + S6 (partition-per-predicate read-back), end to end on Derby.
     // Base load: every 8th synthetic variant. Delta: a depth bump for
-    // the vid%3 rows (MERGE matched -> UPDATE) plus re-keyed vid%5 rows
-    // (not matched -> INSERT). The oracle computes the expected
+    // the vid%3 rows (MERGE matched -> UPDATE) plus re-keyed vid%7 rows
+    // (not matched -> INSERT; %7 is satisfiable inside the %8 base —
+    // vid = l_orderkey*10 + l_linenumber makes vid%5==0 force
+    // l_linenumber=5, an odd value the even-vid base excludes, so a %5
+    // stratum would leave the INSERT branch provably empty). The oracle
+    // computes the expected
     // post-MERGE table state from the same parquet inputs, so a broken
     // batch write, a mis-fired MERGE branch, or a lossy type round trip
     // (e.g. empty-string ref_nuc for insertions) all hash-mismatch.
@@ -46,7 +45,7 @@ object QueriesJdbc {
         // boot down + delete any previous incarnation so the gate is
         // idempotent within one JVM and across runs
         Jdbc.shutdownEmbeddedDerby(dbDir)
-        rmrf(new java.io.File(dbDir))
+        Fixtures.rmrf(new java.io.File(dbDir))
         val url = s"jdbc:derby:$dbDir;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -56,22 +55,22 @@ object QueriesJdbc {
           "chromosome VARCHAR(8), ref_nuc VARCHAR(16), var_nuc VARCHAR(16)"
         // vid is deliberately non-unique in the synthetic corpus (the
         // in-batch-dedup operators feed on that); MERGE requires unique
-        // source keys, so reduce per-vid with a deterministic min —
-        // this gate tests the JDBC boundary, not dedup (q63 does that)
-        val v = Synthetic.variants(spark, dir)
+        // source keys, so start from the staged unique-vid base (the
+        // %8 filter is on the group key, so filtering the staged
+        // aggregate equals aggregating the filtered rows) — this gate
+        // tests the JDBC boundary, not dedup (q63 does that)
+        val v = Fixtures.dedupVariants(spark, dir)
           .filter(col("vid") % 8 === 0)
-          .groupBy(col("vid"))
-          .agg(min(col("chromosome")).as("chromosome"),
-            min(col("start_pos")).cast("int").as("start_pos"),
-            min(col("ref_nuc")).as("ref_nuc"),
-            min(col("var_nuc")).as("var_nuc"),
-            min(col("total_depth")).cast("int").as("total_depth"))
+          .select(col("vid"), col("chromosome"),
+            col("start_pos").cast("int").as("start_pos"),
+            col("ref_nuc"), col("var_nuc"),
+            col("total_depth").cast("int").as("total_depth"))
         Jdbc.append(v, url, "variant", props,
           batchSize = Jdbc.DefaultBatchSize, numPartitions = Some(4),
           columnTypes = Some(varcharTypes))
         val delta = v.filter(col("vid") % 3 === 0)
           .withColumn("total_depth", col("total_depth") + lit(1000))
-          .unionByName(v.filter(col("vid") % 5 === 0)
+          .unionByName(v.filter(col("vid") % 7 === 0)
             .withColumn("vid", col("vid") + lit(10000000L)))
         val merge = Jdbc.stageForMerge(delta, url, "variant_stage", "variant",
           keyCols = Seq("vid"),
@@ -86,8 +85,7 @@ object QueriesJdbc {
         Jdbc.createIndex(url, "variant_stage", Seq("vid"), "stage_vid_ix", props)
         Jdbc.execute(url, merge, props)
         val back = Jdbc.readPartitioned(spark, url, "variant",
-          // quoted: the writer created case-sensitive lowercase columns
-          Seq("MOD(\"vid\", 2) = 0", "MOD(\"vid\", 2) = 1"), props)
+          Fixtures.modPredicates("vid", 2), props)
           .select(col("vid"), col("chromosome"), col("start_pos"),
             col("ref_nuc"), col("var_nuc"), col("total_depth"))
           .orderBy(col("vid"))
@@ -111,7 +109,7 @@ object QueriesJdbc {
            |UNION ALL
            |SELECT vid + 10000000, chromosome, start_pos, ref_nuc, var_nuc,
            |  total_depth
-           |FROM v WHERE vid % 5 = 0
+           |FROM v WHERE vid % 7 = 0
            |ORDER BY 1""".stripMargin))
   )
 }

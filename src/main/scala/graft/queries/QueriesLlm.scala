@@ -1368,14 +1368,10 @@ object QueriesLlm {
       (spark, dir) => {
         val docPath = s"${QueriesSources.FixtureDir}/dedup_index_docs"
         val bandPath = s"${QueriesSources.FixtureDir}/dedup_index_bands"
-        def rmrf(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rmrf)
-          p.delete()
-        }
         spark.sql("DROP TABLE IF EXISTS graft_q99_docs")
         spark.sql("DROP TABLE IF EXISTS graft_q99_bands")
-        rmrf(new java.io.File(docPath))
-        rmrf(new java.io.File(bandPath))
+        Fixtures.rmrf(new java.io.File(docPath))
+        Fixtures.rmrf(new java.io.File(bandPath))
         // shingle-hash lists + signatures (shared by index build and wave)
         // hl kept SORTED: the verify step is the native two-pointer
         // merge `sorted_inter_count` (allocation-free, codegen; ~3x

@@ -567,19 +567,21 @@ object QueriesPipeline {
         import graft.operators.Fixup
         val g = Synthetic.genes(spark, dir)
         // unique-vid stored table (vid repeats in the synthetic corpus;
-        // fixups address rows by id, so the fixture dedups per vid)
-        val b = Synthetic.variants(spark, dir)
-          .groupBy(col("vid"))
-          .agg(min(col("sample_id")).as("sample_id"),
-            min(col("chromosome")).as("chromosome"),
-            min(col("start_pos")).as("start_pos"),
-            min(col("ref_nuc")).as("ref_nuc"),
-            min(col("var_nuc")).as("var_nuc"))
+        // fixups address rows by id) — the corpus-wide groupBy(vid)
+        // behind it is staged once per JVM and shared with q105
+        val b = Fixtures.dedupVariants(spark, dir)
+          .drop("total_depth")
           .withColumn("var_freq", (col("vid") % 101).cast("int"))
           .withColumn("zygosity_ref_allele",
             when(col("vid") % 4 === 0, "Y").otherwise("N"))
+          // variantTypeFixup, not the loader's variantType: the oracle's
+          // CTE encodes the fixup length-ladder, and the
+          // zygosity_perc_read scope filters on this column — the two
+          // expressions only coincide on corpora with no '-' alleles and
+          // no equal-length multi-base pairs, so share the one the
+          // oracle mirrors
           .withColumn("variant_type",
-            VariantFunctions.variantType(col("ref_nuc"), col("var_nuc")))
+            VariantFunctions.variantTypeFixup(col("ref_nuc"), col("var_nuc")))
           // corruption C: vid%19 rows store a wrong percent (+7 mod 101
           // is never a fixpoint), with a status CONSISTENT with the
           // wrong percent — exactly the drift the reference job hunts
@@ -598,6 +600,12 @@ object QueriesPipeline {
                 .otherwise("genic"))
               .otherwise(col("recomputed")))
           .drop("recomputed", "drifted")
+          // materialized once: both naTruth (the window below) and the
+          // stored0 join consume this interval-join subtree — without
+          // the checkpoint the corpus-wide dedup + binned broadcast
+          // join executes twice for the fixture write alone (the q82
+          // rule; this was the r6 `weak`)
+          .localCheckpoint(true)
         // corruption B: site-count truth (over the stored percent>0
         // scope) bumped by one on vid%17 rows; out-of-scope rows
         // store the untouched default 1
@@ -624,7 +632,12 @@ object QueriesPipeline {
             .select(lit(name).as("check_name"), lit(false).as("drifted"),
               lit("*").as("stored"), lit("*").as("recomputed"),
               col("n"), lit(0L).as("sum_vid"))
-        val a = Fixup.genicStatusDrift(stored, g)
+        // materialized once: `a` (an interval join over the stored
+        // parquet) sits under the genic report AND — via fixedAC — both
+        // sides of the naFixed join; un-checkpointed it would execute
+        // three times. fixedAC itself is map-only over this checkpoint,
+        // so its two consumers only repeat cheap projections.
+        val a = Fixup.genicStatusDrift(stored, g).localCheckpoint(true)
         val nA = Fixup.numAlleleDrift(stored)
         val c = Fixup.zygosityPercentScope(stored)
           .withColumn("recomputed", Fixup.zygosityLadder(col("var_freq")))

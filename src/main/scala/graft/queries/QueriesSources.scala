@@ -1052,14 +1052,10 @@ object QueriesSources {
         // files a previous run wrote can otherwise leave a stale
         // file-status entry behind (observed once as FILE_NOT_EXIST on
         // the just-written table in a 97-query session)
-        def rmrf(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rmrf)
-          p.delete()
-        }
         spark.sql("DROP TABLE IF EXISTS graft_q98_orders")
         spark.sql("DROP TABLE IF EXISTS graft_q98_lineitem")
-        rmrf(new java.io.File(ordPath))
-        rmrf(new java.io.File(liPath))
+        Fixtures.rmrf(new java.io.File(ordPath))
+        Fixtures.rmrf(new java.io.File(liPath))
         graft.sources.Bucketed.writeBucketed(
           table(spark, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),

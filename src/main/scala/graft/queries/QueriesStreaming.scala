@@ -92,12 +92,8 @@ object QueriesStreaming {
         val src = s"$root/src"
         val store = s"$root/store"
         val storeTable = "graft_q91_store"
-        def rmrf(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rmrf)
-          p.delete()
-        }
         spark.sql(s"DROP TABLE IF EXISTS $storeTable")
-        rmrf(new java.io.File(root))
+        Fixtures.rmrf(new java.io.File(root))
         table(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"))
           .repartition(8, col("event_id"))
