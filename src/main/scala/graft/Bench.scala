@@ -26,11 +26,15 @@ object Bench {
     // are added) — per-query numbers stay comparable round over round
     val selected = graft.queries.Catalog.all
       .filter(q => filter.isEmpty || filter.exists(q.name.contains))
-    // best-of-N (default 2): the steady-state per-query cost is the
+    // best-of-N (default 3): the steady-state per-query cost is the
     // min over back-to-back runs — one transient hiccup (GC pause,
     // co-tenant contention, cold page cache) on a shared box otherwise
-    // lands in a single query's number and the total
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2).max(1)
+    // lands in a single query's number and the total. Three runs
+    // because two consecutive slow runs of the same query have been
+    // observed (a box-wide stall spanning both), defeating min-of-2;
+    // the recorded per-run loadavg makes any surviving outlier
+    // self-explaining in the artifact.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
     /** Free cached tables AND localCheckpoint/persist blocks so one
       * query's pinned blocks never inflate the next query's time. */
     def clearBlocks(): Unit = {

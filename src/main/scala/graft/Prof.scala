@@ -32,6 +32,11 @@ object Prof {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("read+count")(docs.count())
 
+    // `runMain graft.Prof family` runs ONLY the candidate-stage counts
+    // for q88/q99/q104 (the r7 enriched-corpus comparison) and exits;
+    // with no arg the full stage profile below runs as before.
+    if (args.contains("family")) { profFamily(spark, docs); spark.stop(); return }
+
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
 
@@ -167,5 +172,102 @@ object Prof {
       println(s"PROF   q41w cand rows: ${wcand.count()}"))
 
     spark.stop()
+  }
+
+  /** Candidate-stage counts for the dedup-family gates that compose
+    * several stages (q88 pipeline, q99 incremental, q104 Bloom) —
+    * each block mirrors the gated query's own candidate stage so the
+    * driver-corpus vs enriched-twin comparison covers the whole
+    * family, not just q41/q92. Counts only; no fixture writes. */
+  private def profFamily(spark: SparkSession,
+                         docs: org.apache.spark.sql.DataFrame): Unit = {
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ---- q88: band collisions over exact-dedup survivors
+    val d = docs.select(col("doc_id"), col("lang"), col("text"))
+    val raw = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+    val exact = raw.withColumn("fp", xxhash64(col("text")))
+      .groupBy(col("lang"), col("fp"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true)
+    val sig88 = graft.operators.SetSimJoin.withBitmap(
+        exact.select(col("doc_id"), col("text"),
+          TF.shingles(col("text"), 3).as("sh")), "doc_id", "sh")
+      .withColumn("hl", TF.shingleHashes(col("text")))
+      .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+      .drop("text", "hl")
+      .localCheckpoint(true)
+    val bands88 = sig88.select(col("doc_id"), col("sz"), col("bm"),
+      posexplode(array((0 until Bands).map(b =>
+        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+    val cand88 = bands88.as("a").join(bands88.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        sizeRatioOk(col("a.sz"), col("b.sz")))
+    time("q88 candidates")(println(s"PROF   q88 cand rows: ${cand88.count()}"))
+    val ver88 = cand88.filter(graft.operators.SetSimJoin.jaccardX1000(
+      col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")) >= JaccThreshold)
+    time("q88 verify")(println(s"PROF   q88 verified pairs: ${ver88.count()}"))
+
+    // ---- q99: distinct (wave, index) band-bucket hits
+    def signed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
+      .withColumn("sz", size(col("hl")).cast("long"))
+      .filter(col("sz") > 0)
+      .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+    val corpus99 = docs.filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+      .select("doc_id", "lang", "text")
+    val wave99 = corpus99.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .unionByName(corpus99.filter(col("doc_id") % 20 === 4)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", reverse(col("text"))))
+    val cand99 = bandsOf(signed(wave99)).withColumnRenamed("doc_id", "w_id")
+      .join(bandsOf(signed(corpus99)), "bkey")
+      .select(col("w_id"), col("doc_id").as("idx_id"))
+      .distinct()
+    time("q99 candidates")(println(s"PROF   q99 cand pairs: ${cand99.count()}"))
+
+    // ---- q104: test 5-grams surviving the broadcast Bloom probe
+    // (splitGrams replicated from QueriesLlm — doc_id-hash split,
+    // distinct 5-token-gram polyhash fingerprints)
+    val P = TF.HashMod
+    val b104 = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100
+    val toks = docs
+      .withColumn("split",
+        when(b104 < 80, "train").when(b104 < 90, "val").otherwise("test"))
+      .filter(col("split") =!= "val")
+      .select(col("doc_id"), col("split"), TF.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 5)
+    val grams = toks.select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("t")) - 4),
+          i => aggregate(transform(slice(col("t"), i, lit(5)), tok => TF.polyHash(tok)),
+            lit(0L), (acc, h) => (acc * 31 + h) % P)))).as("fp"))
+      .localCheckpoint(true)
+    val train = grams.filter(col("split") === "train")
+    val test = grams.filter(col("split") === "test")
+    val numBits = 1L << 20
+    val bloom = graft.operators.BloomFilter.build(train, "fp", numBits, 3)
+    val cand104 = test.crossJoin(broadcast(bloom))
+      .filter(graft.operators.BloomFilter.mayContain(
+        col("bloom"), col("fp"), numBits, 3))
+    val nTest = test.count()
+    val nCand = time("q104 bloom survivors")(cand104.count())
+    val nTrue = cand104.join(train.select(col("fp")).distinct(), Seq("fp"), "left_semi").count()
+    println(s"PROF   q104 test grams: $nTest, bloom survivors: $nCand, " +
+      s"true hits: $nTrue, false-positive rate: " +
+      f"${if (nTest == nTrue) 0.0 else (nCand - nTrue).toDouble / (nTest - nTrue)}%.4f")
   }
 }
