@@ -262,6 +262,95 @@ object QueriesLlm {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // -- The same Broder band scheme at PRODUCTION shingle granularity:
+    // word bigrams instead of char 3-grams (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", shingle on word
+    // n-grams; char 3-grams keep inter-document Jaccard high on ANY
+    // corpus because real text shares the common trigrams — quantified
+    // against an enriched-vocabulary twin in PLANS.md). Elements are
+    // q92's hashed-bigram longs; the verify is q99's allocation-free
+    // sorted two-pointer intersect — no bitmap dictionary, because a
+    // word-bigram universe is corpus-sized, not 400-element, so a
+    // dense per-corpus dictionary would itself be a scale liability.
+    // 100 TB: one signature pass, one shuffled band self-join on
+    // uniform minhash keys; candidates stay near the true-near-dup
+    // count on realistic vocabulary (PLANS.md: 299,765 vs 20.5M for
+    // char 3-grams on the same corpus at sf0.1).
+    Q("q108_dedup_minhash_word",
+      (spark, dir) => {
+        val base = table(spark, dir, "documents")
+          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), sort_array(array_distinct(
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1)))))).as("hl"))
+          .withColumn("sz", size(col("hl")).cast("long"))
+          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+          // band self-join consumes both sides — materialize the
+          // signature pass once (the q41/q82 rule)
+          .localCheckpoint(true)
+        val bands = base.select(col("doc_id"), col("sz"), col("hl"),
+          posexplode(array((0 until Bands).map(b =>
+            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              sizeRatioOk(col("a.sz"), col("b.sz")))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+            call_function("sorted_inter_count",
+              col("a.hl"), col("b.hl")).as("inter"))
+          .withColumn("jacc_x1000",
+            expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
+          .filter(col("jacc_x1000") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sigCols = (0 until K).map(i =>
+          s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
+          .mkString(",\n    ")
+        val bandSelects = (0 until Bands).map { b =>
+          val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+            .reduce((acc, m) => s"($acc * 31 + $m)")
+          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigt"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH bg AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)],
+           |    s -> list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(string_split_regex(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % $P))) AS hl
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           |        FROM documents)
+           |  WHERE len(t) >= 2),
+           |sigt AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM bg),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jacc_x1000 FROM (
+           |  SELECT c.doc_a, c.doc_b,
+           |    (len(list_intersect(x.hl, y.hl)) * 1000)
+           |      // len(list_distinct(list_concat(x.hl, y.hl))) AS jacc_x1000
+           |  FROM cand c
+           |  JOIN bg x ON x.doc_id = c.doc_a
+           |  JOIN bg y ON y.doc_id = c.doc_b)
+           |WHERE jacc_x1000 >= $JaccThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // -- SimHash fingerprints: 16-bit sign-aggregated token-hash sketch
     // per document (near-dup docs land on nearby values; hamming-join
     // happens on chunked bits at scale).

@@ -21,6 +21,12 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     "q45_knn_lsh", "q46_dedup_embedding", "q52_dedup_clusters",
     "q53_knn_ivf", "q58_multimodal_embed", "q88_dedup_pipeline",
     "q92_dedup_prefix_filter",
+    # gen_sf's 10 key-shifted exact copies are all-band-matching true
+    # near-dups, so candidate pairs grow ~100x by corpus construction
+    # (the q41 artifact, PLANS.md); the DuckDB verify join exceeds the
+    # sweep timeout at sf1. Validated at sf0.01 AND on the
+    # realistic-vocabulary twin tmp/sf0.1rich instead.
+    "q108_dedup_minhash_word",
 }
 
 
