@@ -35,6 +35,76 @@ object QueriesLlm {
   private val Dim = 64                  // embedding dimensionality
   private val Planes = 8                // LSH hyperplanes
 
+  /** Sorted shingle-hash list + MinHash signature for a
+    * (doc_id, lang, text) frame — the shared front end of the
+    * persistent-index dedup family (q99's batch index, q109's
+    * streaming epochs). `hl` is kept SORTED so verify is the native
+    * allocation-free two-pointer `sorted_inter_count`; shingling is
+    * the native one-pass `shingle_hashes` (no shingle strings, no
+    * bitmap dictionary). */
+  private def signedDocs(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("lang"),
+      sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
+    .withColumn("sz", size(col("hl")).cast("long"))
+    .filter(col("sz") > 0)
+    .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+
+  /** Exploded LSH band keys combined into ONE collision-free long
+    * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
+    * single-column bucket spec == single-column join key. Input needs
+    * a `sig` column (from [[signedDocs]]); output (doc_id, bkey). */
+  private def bandKeysOf(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+      TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+    .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+
+  /** DuckDB CTE block replaying shingle → minhash → band derivation
+    * for `src` (doc_id, lang, text) under `prefix` — the oracle-side
+    * mirror of [[signedDocs]]/[[bandKeysOf]], shared by the q99 and
+    * q109 oracles. Emits `{prefix}docs(doc_id, lang, hl, sz)` and
+    * `{prefix}bands(doc_id, bkey)`. */
+  private def minhashCtes(prefix: String, src: String): String = {
+    val sigCols = (0 until K).map(i =>
+      s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}sh AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+       |  FROM (SELECT doc_id, lang, lower(text) AS t FROM $src)),
+       |${prefix}docs AS (
+       |  SELECT doc_id, lang, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
+       |    SELECT doc_id, lang, list_distinct(list_transform(sh, s ->
+       |      CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+       |            + ascii(substr(s, 3, 1))) % $P AS BIGINT))) AS hl
+       |    FROM ${prefix}sh)
+       |  WHERE len(hl) > 0),
+       |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
+       |${prefix}bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** One oracle-side LSH-candidate + exact-Jaccard verify pass:
+    * distinct wave docs (`wPfx`) whose banded candidates against the
+    * index (`idxDocs`/`idxBands`) survive the size-ratio prune and the
+    * J*1000 >= threshold check — the SQL mirror of the engine's
+    * band-join → `sorted_inter_count` verify. */
+  private def verifiedDupCte(wPfx: String, idxDocs: String, idxBands: String): String =
+    s"""SELECT DISTINCT w_id FROM (
+       |    SELECT c.w_id,
+       |      CAST(len(list_intersect(wd.hl, id.hl)) AS BIGINT) AS inter,
+       |      wd.sz AS sz_w, id.sz AS sz_i
+       |    FROM (SELECT DISTINCT w.doc_id AS w_id, i.doc_id AS idx_id
+       |          FROM ${wPfx}bands w JOIN $idxBands i ON w.bkey = i.bkey) c
+       |    JOIN ${wPfx}docs wd ON wd.doc_id = c.w_id
+       |    JOIN $idxDocs id ON id.doc_id = c.idx_id
+       |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
+       |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold""".stripMargin
+
   /** Distinct 5-token-gram fingerprints per doc over the q76
     * deterministic train/test split (val dropped) — shared by q93
     * (contamination equi-join) and q104 (Bloom pre-filtered variant).
@@ -1461,25 +1531,11 @@ object QueriesLlm {
         spark.sql("DROP TABLE IF EXISTS graft_q99_bands")
         Fixtures.rmrf(new java.io.File(docPath))
         Fixtures.rmrf(new java.io.File(bandPath))
-        // shingle-hash lists + signatures (shared by index build and wave)
-        // hl kept SORTED: the verify step is the native two-pointer
-        // merge `sorted_inter_count` (allocation-free, codegen; ~3x
-        // over array_intersect on the candidate-pair loop). Shingling
-        // is the native one-pass `shingle_hashes` — this regime never
-        // needs shingle STRINGS (no bitmap dictionary), so the
-        // per-shingle string materialization disappears entirely.
-        def signed(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("doc_id"), col("lang"),
-            sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
-          .withColumn("sz", size(col("hl")).cast("long"))
-          .filter(col("sz") > 0)
-          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
-        def bandsOf(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
-            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
-          // combined collision-free key (band_key < 2^31 * 31^3):
-          // single-column bucket spec == single-column join key
-          .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+        // shingle-hash lists + signatures via the shared signedDocs /
+        // bandKeysOf front end (hl SORTED for the native two-pointer
+        // `sorted_inter_count` verify — allocation-free, codegen; ~3x
+        // over array_intersect on the candidate-pair loop; no shingle
+        // strings, no bitmap dictionary).
         // length(text) >= 3 is mirrored in the oracle's corpus CTE: for
         // sub-3-char strings native shingle_hashes falls back to one
         // whole-string hash (doc kept) while the oracle's 3-gram
@@ -1488,10 +1544,10 @@ object QueriesLlm {
         val corpus = table(spark, dir, "documents")
           .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
           .select("doc_id", "lang", "text")
-        val index = signed(corpus).localCheckpoint(true) // docs write + bands write
+        val index = signedDocs(corpus).localCheckpoint(true) // docs write + bands write
         graft.sources.Bucketed.writeBucketed(index.select("doc_id", "hl", "sz"),
           "graft_q99_docs", 8, Seq("doc_id"), path = Some(docPath))
-        graft.sources.Bucketed.writeBucketed(bandsOf(index),
+        graft.sources.Bucketed.writeBucketed(bandKeysOf(index),
           "graft_q99_bands", 8, Seq("bkey"), path = Some(bandPath))
         spark.catalog.refreshByPath(docPath)
         spark.catalog.refreshByPath(bandPath)
@@ -1501,8 +1557,8 @@ object QueriesLlm {
           .unionByName(corpus.filter(col("doc_id") % 20 === 4)
             .withColumn("doc_id", col("doc_id") + 300000L)
             .withColumn("text", reverse(col("text"))))
-        val wsig = signed(wave).localCheckpoint(true) // bands + verify + rollup
-        val cand = bandsOf(wsig).withColumnRenamed("doc_id", "w_id")
+        val wsig = signedDocs(wave).localCheckpoint(true) // bands + verify + rollup
+        val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
           .join(spark.table("graft_q99_bands"), "bkey")
           .select(col("w_id"), col("doc_id").as("idx_id"))
           .distinct()
@@ -1528,30 +1584,7 @@ object QueriesLlm {
           .orderBy(col("lang"), col("is_dup"))
       },
       Some {
-        def minhashCtes(prefix: String, src: String): String = {
-          val sigCols = (0 until K).map(i =>
-            s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
-            .mkString(",\n    ")
-          val bandSelects = (0 until Bands).map { b =>
-            val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
-              .reduce((acc, m) => s"($acc * 31 + $m)")
-            s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
-          }.mkString("\n  UNION ALL\n  ")
-          s"""${prefix}sh AS (
-             |  SELECT doc_id, lang,
-             |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
-             |  FROM (SELECT doc_id, lang, lower(text) AS t FROM $src)),
-             |${prefix}docs AS (
-             |  SELECT doc_id, lang, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
-             |    SELECT doc_id, lang, list_distinct(list_transform(sh, s ->
-             |      CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
-             |            + ascii(substr(s, 3, 1))) % $P AS BIGINT))) AS hl
-             |    FROM ${prefix}sh)
-             |  WHERE len(hl) > 0),
-             |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
-             |${prefix}bands AS (
-             |  $bandSelects)""".stripMargin
-        }
+        // shingle/minhash/band replay via the shared minhashCtes mirror
         s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
            |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
            |wave AS (
@@ -1988,6 +2021,171 @@ object QueriesLlm {
           |FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) <
           |      CASE WHEN lang = 'en' THEN '3333' ELSE 'cccc' END
-          |GROUP BY lang ORDER BY lang""".stripMargin))
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- STREAMING incremental dedup with an EPOCH-VERSIONED index:
+    // the continuous-ingestion shape of q99. Documents arrive as a
+    // Structured Streaming source in micro-batches (AvailableNow,
+    // maxFilesPerTrigger=2); every batch signs ONLY its own docs,
+    // band-joins the frozen current-epoch index (bucketed on bkey —
+    // the corpus-sized side enters the join EXCHANGE-FREE, q98/q99's
+    // amortization), verifies candidates by exact Jaccard on the
+    // stored sorted hash lists (`sorted_inter_count`), and stages its
+    // accepted (novel) docs. When the wave drains, the staged docs
+    // COMMIT as the next epoch (bucketed append to the doc + band
+    // tables) — so wave 2 dedups against everything wave 1 accepted.
+    //
+    // Batches read a FROZEN index and never each other's output —
+    // that is what makes the result deterministic under any
+    // file-to-batch assignment (and, on a cluster, free of
+    // cross-worker read-your-own-write races): dedup workers snapshot
+    // the index per ingestion epoch and acceptance commits at epoch
+    // boundaries. The fixture proves the epoch semantics both ways:
+    // wave 1 mixes exact copies of indexed docs (rejected vs epoch 0)
+    // with reversed-text decoys (accepted -> epoch 1); wave 2 replays
+    // the SAME decoy texts under new ids — each is rejected either
+    // because its twin committed in epoch 1 or because whatever
+    // matched the twin in epoch 0 still matches — plus fresh decoys
+    // (accepted -> epoch 2). The oracle replays both waves
+    // sequentially in SQL. 100 TB: per-batch cost is wave-sized
+    // (sign + band join + verify on candidates); the index pays its
+    // shuffle once at commit time, never per batch.
+    Q("q109_stream_dedup",
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/root/repo/tmp/streamdedup"
+        val docPath = s"$root/idx_docs"
+        val bandPath = s"$root/idx_bands"
+        val docTable = "graft_q109_docs"
+        val bandTable = "graft_q109_bands"
+        spark.sql(s"DROP TABLE IF EXISTS $docTable")
+        spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+        Fixtures.rmrf(new java.io.File(root))
+        // doc_id%4 subset + len>=3, exactly q99's corpus contract
+        // (both documented there: gate cost + short-doc symmetry)
+        val corpus = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+          .select("doc_id", "lang", "text")
+        // ---- epoch 0: the seed index
+        val seed = signedDocs(corpus).localCheckpoint(true) // 2 writes
+        graft.sources.Bucketed.writeBucketed(
+          seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+            .withColumn("epoch", lit(0)),
+          docTable, 8, Seq("doc_id"), path = Some(docPath))
+        graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
+          bandTable, 8, Seq("bkey"), path = Some(bandPath))
+        // ---- wave sources on disk (4 files each -> 2 micro-batches)
+        val w1 = corpus.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+            .withColumn("doc_id", col("doc_id") + 300000L)
+            .withColumn("text", reverse(col("text"))))
+        val w2 = corpus.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 400000L)
+          .withColumn("text", reverse(col("text")))
+          .unionByName(corpus.filter(col("doc_id") % 20 === 8)
+            .withColumn("doc_id", col("doc_id") + 500000L)
+            .withColumn("text", reverse(col("text"))))
+        w1.repartition(4).write.mode("overwrite").parquet(s"$root/src1")
+        w2.repartition(4).write.mode("overwrite").parquet(s"$root/src2")
+        val srcSchema = spark.read.parquet(s"$root/src1").schema
+        val stagedSchema = signedDocs(corpus.limit(0)).schema
+        def runWave(epoch: Int, srcPath: String): Unit = {
+          val stage = s"$root/stage_$epoch"
+          // pre-create so a zero-accept wave still reads back cleanly
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema)
+            .write.mode("overwrite").parquet(stage)
+          val q = spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", 2).parquet(srcPath)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt_$epoch")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val ss = batch.sparkSession
+              // 3 consumers (bands, verify, anti) -> materialize once
+              val bs = signedDocs(batch).localCheckpoint(true)
+              val cand = bandKeysOf(bs).withColumnRenamed("doc_id", "w_id")
+                .join(ss.table(bandTable), "bkey") // store side exchange-free
+                .select(col("w_id"), col("doc_id").as("idx_id"))
+                .distinct()
+              val dup = cand
+                .join(ss.table(docTable).select(col("doc_id").as("idx_id"),
+                  col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
+                .join(bs.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
+                  col("sz").as("sz_w")), "w_id")
+                .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
+                .withColumn("inter",
+                  call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
+                .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+                .select(col("w_id").as("doc_id")).distinct()
+              bs.join(dup, Seq("doc_id"), "left_anti")
+                .select(col("doc_id"), col("lang"), col("hl"), col("sz"), col("sig"))
+                .write.mode("append").parquet(stage)
+            }
+            .start()
+          q.awaitTermination()
+          // ---- commit the epoch: staged novelties enter the index
+          val staged = spark.read.schema(stagedSchema).parquet(stage)
+            .localCheckpoint(true) // 2 writes
+          graft.sources.Bucketed.writeBucketed(
+            staged.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+              .withColumn("epoch", lit(epoch)),
+            docTable, 8, Seq("doc_id"), mode = "append", path = Some(docPath))
+          graft.sources.Bucketed.writeBucketed(bandKeysOf(staged),
+            bandTable, 8, Seq("bkey"), mode = "append", path = Some(bandPath))
+          spark.catalog.refreshByPath(docPath)
+          spark.catalog.refreshByPath(bandPath)
+        }
+        runWave(1, s"$root/src1")
+        runWave(2, s"$root/src2")
+        spark.table(docTable)
+          .groupBy(col("epoch"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+            sum(col("doc_id")).as("sum_id"))
+          .orderBy(col("epoch"), col("lang"))
+      },
+      Some(
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
+           |w1 AS (
+           |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 300000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 4),
+           |w2 AS (
+           |  SELECT doc_id + 400000 AS doc_id, lang, reverse(text) AS text
+           |  FROM corpus WHERE doc_id % 20 = 4
+           |  UNION ALL
+           |  SELECT doc_id + 500000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 8),
+           |${minhashCtes("i", "corpus")},
+           |${minhashCtes("a", "w1")},
+           |${minhashCtes("b", "w2")},
+           |a_dup AS (
+           |  ${verifiedDupCte("a", "idocs", "ibands")}),
+           |acc1 AS (SELECT doc_id, lang, hl, sz FROM adocs
+           |         WHERE doc_id NOT IN (SELECT w_id FROM a_dup)),
+           |i1docs AS (SELECT doc_id, hl, sz FROM idocs
+           |           UNION ALL SELECT doc_id, hl, sz FROM acc1),
+           |i1bands AS (SELECT doc_id, bkey FROM ibands
+           |            UNION ALL
+           |            SELECT doc_id, bkey FROM abands
+           |            WHERE doc_id IN (SELECT doc_id FROM acc1)),
+           |b_dup AS (
+           |  ${verifiedDupCte("b", "i1docs", "i1bands")}),
+           |acc2 AS (SELECT doc_id, lang, hl, sz FROM bdocs
+           |         WHERE doc_id NOT IN (SELECT w_id FROM b_dup))
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS INTEGER) AS epoch, lang, count(*) AS n_docs,
+           |    CAST(sum(sz) AS BIGINT) AS sum_sz, CAST(sum(doc_id) AS BIGINT) AS sum_id
+           |  FROM idocs GROUP BY 2
+           |  UNION ALL
+           |  SELECT CAST(1 AS INTEGER), lang, count(*),
+           |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+           |  FROM acc1 GROUP BY 2
+           |  UNION ALL
+           |  SELECT CAST(2 AS INTEGER), lang, count(*),
+           |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+           |  FROM acc2 GROUP BY 2)
+           |ORDER BY epoch, lang""".stripMargin))
   )
 }
