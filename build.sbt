@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW instead of routing it
+// via sbt's logger: the bench contract is ONE machine-readable JSON
+// line on stdout, and the logger's "[info] " prefix made it unparseable
+// (BENCH_r05-r07 `parsed: null`). Unscoped so `run`, `runMain`, and
+// forked tests all inherit it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

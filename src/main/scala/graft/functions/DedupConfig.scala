@@ -18,6 +18,17 @@ object DedupConfig {
   /** Near-dup decision threshold: jaccard*1000 >= this. */
   val JaccThreshold = 700
 
+  /** Bucket count for the persistent dedup-index tables (q99's batch
+    * index, q109's streaming epochs). A CAPACITY parameter, not a
+    * tuning constant: the bucket count fixes per-bucket file size and
+    * join parallelism for the life of the table, so size it at write
+    * time as `indexBytes / ~256 MB` for the deployment corpus (a
+    * 100 TB corpus' band table wants thousands of buckets, not 8) and
+    * re-bucket via the epoch-compaction job when the index outgrows
+    * it (PLANS.md, q109 "index maintenance"). 8 suits the gate
+    * corpora. */
+  val IndexBuckets = 8
+
   /** Size-ratio necessary condition for J >= JaccThreshold/1000:
     * J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing
     * 10*min >= 7*max cannot reach 0.700 — the filter only skips

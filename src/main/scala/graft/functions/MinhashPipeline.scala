@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold}
+
+/** The shared front end of the persistent-index MinHash dedup family —
+  * q99's batch index, q108's production-granularity self-join, and
+  * q109's streaming epochs all sign/band documents the same way, and
+  * their DuckDB oracles replay the identical derivation in SQL. One
+  * definition here so a retune (K, band layout, hash constants) can
+  * never make the engine and its oracles drift apart. Tuning constants
+  * live in [[DedupConfig]]; the native expressions in
+  * [[TextFunctions]].
+  *
+  * Reference anchor: the verify-before-insert upsert contract of
+  * `VariantLoad3.saveVariants:479-589` is what these indexes model at
+  * corpus scale (candidate lookup + exact verify + insert-novel-only).
+  */
+object MinhashPipeline {
+
+  /** Sorted shingle-hash list + MinHash signature for a
+    * (doc_id, lang, text) frame. `hl` is kept SORTED so verify is the
+    * native allocation-free two-pointer `sorted_inter_count`;
+    * shingling is the native one-pass `shingle_hashes` (no shingle
+    * strings, no bitmap dictionary). */
+  def signedDocs(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("lang"),
+      sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
+    .withColumn("sz", size(col("hl")).cast("long"))
+    .filter(col("sz") > 0)
+    .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+
+  /** Exploded LSH band keys combined into ONE collision-free long
+    * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
+    * single-column bucket spec == single-column join key. Input needs
+    * a `sig` column (from [[signedDocs]]); output (doc_id, bkey). */
+  def bandKeysOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+      TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+    .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+
+  /** DuckDB CTE block replaying shingle → minhash → band derivation
+    * for `src` (doc_id, lang, text) under `prefix` — the oracle-side
+    * mirror of [[signedDocs]]/[[bandKeysOf]], shared by the q99 and
+    * q109 oracles. Emits `{prefix}docs(doc_id, lang, hl, sz)` and
+    * `{prefix}bands(doc_id, bkey)`. */
+  def minhashCtes(prefix: String, src: String): String = {
+    val sigCols = (0 until K).map(i =>
+      s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % ${TF.MinhashPrime})) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}sh AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+       |  FROM (SELECT doc_id, lang, lower(text) AS t FROM $src)),
+       |${prefix}docs AS (
+       |  SELECT doc_id, lang, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
+       |    SELECT doc_id, lang, list_distinct(list_transform(sh, s ->
+       |      CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+       |            + ascii(substr(s, 3, 1))) % ${TF.HashMod} AS BIGINT))) AS hl
+       |    FROM ${prefix}sh)
+       |  WHERE len(hl) > 0),
+       |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
+       |${prefix}bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** One oracle-side LSH-candidate + exact-Jaccard verify pass:
+    * distinct wave docs (`wPfx`) whose banded candidates against the
+    * index (`idxDocs`/`idxBands`) survive the size-ratio prune and the
+    * J*1000 >= threshold check — the SQL mirror of the engine's
+    * band-join → `sorted_inter_count` verify. The 7:10 literals mirror
+    * [[DedupConfig.sizeRatioOk]]. */
+  def verifiedDupCte(wPfx: String, idxDocs: String, idxBands: String): String =
+    s"""SELECT DISTINCT w_id FROM (
+       |    SELECT c.w_id,
+       |      CAST(len(list_intersect(wd.hl, id.hl)) AS BIGINT) AS inter,
+       |      wd.sz AS sz_w, id.sz AS sz_i
+       |    FROM (SELECT DISTINCT w.doc_id AS w_id, i.doc_id AS idx_id
+       |          FROM ${wPfx}bands w JOIN $idxBands i ON w.bkey = i.bkey) c
+       |    JOIN ${wPfx}docs wd ON wd.doc_id = c.w_id
+       |    JOIN $idxDocs id ON id.doc_id = c.idx_id
+       |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
+       |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold""".stripMargin
+}

@@ -35,75 +35,10 @@ object QueriesLlm {
   private val Dim = 64                  // embedding dimensionality
   private val Planes = 8                // LSH hyperplanes
 
-  /** Sorted shingle-hash list + MinHash signature for a
-    * (doc_id, lang, text) frame — the shared front end of the
-    * persistent-index dedup family (q99's batch index, q109's
-    * streaming epochs). `hl` is kept SORTED so verify is the native
-    * allocation-free two-pointer `sorted_inter_count`; shingling is
-    * the native one-pass `shingle_hashes` (no shingle strings, no
-    * bitmap dictionary). */
-  private def signedDocs(df: org.apache.spark.sql.DataFrame) = df
-    .select(col("doc_id"), col("lang"),
-      sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
-    .withColumn("sz", size(col("hl")).cast("long"))
-    .filter(col("sz") > 0)
-    .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
-
-  /** Exploded LSH band keys combined into ONE collision-free long
-    * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
-    * single-column bucket spec == single-column join key. Input needs
-    * a `sig` column (from [[signedDocs]]); output (doc_id, bkey). */
-  private def bandKeysOf(df: org.apache.spark.sql.DataFrame) = df
-    .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
-      TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
-    .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
-
-  /** DuckDB CTE block replaying shingle → minhash → band derivation
-    * for `src` (doc_id, lang, text) under `prefix` — the oracle-side
-    * mirror of [[signedDocs]]/[[bandKeysOf]], shared by the q99 and
-    * q109 oracles. Emits `{prefix}docs(doc_id, lang, hl, sz)` and
-    * `{prefix}bands(doc_id, bkey)`. */
-  private def minhashCtes(prefix: String, src: String): String = {
-    val sigCols = (0 until K).map(i =>
-      s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
-      .mkString(",\n    ")
-    val bandSelects = (0 until Bands).map { b =>
-      val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
-        .reduce((acc, m) => s"($acc * 31 + $m)")
-      s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""${prefix}sh AS (
-       |  SELECT doc_id, lang,
-       |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
-       |  FROM (SELECT doc_id, lang, lower(text) AS t FROM $src)),
-       |${prefix}docs AS (
-       |  SELECT doc_id, lang, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
-       |    SELECT doc_id, lang, list_distinct(list_transform(sh, s ->
-       |      CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
-       |            + ascii(substr(s, 3, 1))) % $P AS BIGINT))) AS hl
-       |    FROM ${prefix}sh)
-       |  WHERE len(hl) > 0),
-       |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
-       |${prefix}bands AS (
-       |  $bandSelects)""".stripMargin
-  }
-
-  /** One oracle-side LSH-candidate + exact-Jaccard verify pass:
-    * distinct wave docs (`wPfx`) whose banded candidates against the
-    * index (`idxDocs`/`idxBands`) survive the size-ratio prune and the
-    * J*1000 >= threshold check — the SQL mirror of the engine's
-    * band-join → `sorted_inter_count` verify. */
-  private def verifiedDupCte(wPfx: String, idxDocs: String, idxBands: String): String =
-    s"""SELECT DISTINCT w_id FROM (
-       |    SELECT c.w_id,
-       |      CAST(len(list_intersect(wd.hl, id.hl)) AS BIGINT) AS inter,
-       |      wd.sz AS sz_w, id.sz AS sz_i
-       |    FROM (SELECT DISTINCT w.doc_id AS w_id, i.doc_id AS idx_id
-       |          FROM ${wPfx}bands w JOIN $idxBands i ON w.bkey = i.bkey) c
-       |    JOIN ${wPfx}docs wd ON wd.doc_id = c.w_id
-       |    JOIN $idxDocs id ON id.doc_id = c.idx_id
-       |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
-       |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold""".stripMargin
+  // signedDocs / bandKeysOf / minhashCtes / verifiedDupCte — the
+  // shared minhash front end + oracle mirrors — live in
+  // functions/MinhashPipeline (one definition for q99/q108/q109)
+  import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, minhashCtes, verifiedDupCte}
 
   /** Distinct 5-token-gram fingerprints per doc over the q76
     * deterministic train/test split (val dropped) — shared by q93
@@ -1546,9 +1481,11 @@ object QueriesLlm {
           .select("doc_id", "lang", "text")
         val index = signedDocs(corpus).localCheckpoint(true) // docs write + bands write
         graft.sources.Bucketed.writeBucketed(index.select("doc_id", "hl", "sz"),
-          "graft_q99_docs", 8, Seq("doc_id"), path = Some(docPath))
+          "graft_q99_docs", graft.functions.DedupConfig.IndexBuckets,
+          Seq("doc_id"), path = Some(docPath))
         graft.sources.Bucketed.writeBucketed(bandKeysOf(index),
-          "graft_q99_bands", 8, Seq("bkey"), path = Some(bandPath))
+          "graft_q99_bands", graft.functions.DedupConfig.IndexBuckets,
+          Seq("bkey"), path = Some(bandPath))
         spark.catalog.refreshByPath(docPath)
         spark.catalog.refreshByPath(bandPath)
         // ---- the ingest wave (exact copies + reversed decoys)
@@ -2050,6 +1987,20 @@ object QueriesLlm {
     // sequentially in SQL. 100 TB: per-batch cost is wave-sized
     // (sign + band join + verify on candidates); the index pays its
     // shuffle once at commit time, never per batch.
+    //
+    // RETRY SAFETY (at-least-once -> effectively-once): Structured
+    // Streaming replays a failed micro-batch under the SAME batchId,
+    // so staging writes one directory PER BATCH keyed by that id with
+    // per-batch OVERWRITE — a retry rewrites its own directory
+    // instead of blind-appending a second copy of its novelties, and
+    // a partially-written attempt is erased by the overwrite. The
+    // deeper guarantee is index-level: acceptance is an anti-join
+    // against the committed index, so even a whole-wave replay AFTER
+    // its epoch committed re-accepts nothing (every novelty now
+    // matches its own epoch entry). The gate PROVES that leg: after
+    // committing epoch 1 it clears the checkpoint, re-runs wave 1
+    // end-to-end, and requires the re-commit to add 0 docs — the
+    // q91 `pass(2)`-adds-0-rows contract applied to the epoch index.
     Q("q109_stream_dedup",
       (spark, dir) => {
         import org.apache.spark.sql.streaming.Trigger
@@ -2068,12 +2019,15 @@ object QueriesLlm {
           .select("doc_id", "lang", "text")
         // ---- epoch 0: the seed index
         val seed = signedDocs(corpus).localCheckpoint(true) // 2 writes
+        // bucket count is a CAPACITY parameter (DedupConfig scaladoc);
+        // IndexBuckets suits the gate corpora
+        val nb = graft.functions.DedupConfig.IndexBuckets
         graft.sources.Bucketed.writeBucketed(
           seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
             .withColumn("epoch", lit(0)),
-          docTable, 8, Seq("doc_id"), path = Some(docPath))
+          docTable, nb, Seq("doc_id"), path = Some(docPath))
         graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
-          bandTable, 8, Seq("bkey"), path = Some(bandPath))
+          bandTable, nb, Seq("bkey"), path = Some(bandPath))
         // ---- wave sources on disk (4 files each -> 2 micro-batches)
         val w1 = corpus.filter(col("doc_id") % 20 === 0)
           .withColumn("doc_id", col("doc_id") + 200000L)
@@ -2090,18 +2044,14 @@ object QueriesLlm {
         w2.repartition(4).write.mode("overwrite").parquet(s"$root/src2")
         val srcSchema = spark.read.parquet(s"$root/src1").schema
         val stagedSchema = signedDocs(corpus.limit(0)).schema
-        def runWave(epoch: Int, srcPath: String): Unit = {
+        def runStream(epoch: Int, srcPath: String): Unit = {
           val stage = s"$root/stage_$epoch"
-          // pre-create so a zero-accept wave still reads back cleanly
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema)
-            .write.mode("overwrite").parquet(stage)
           val q = spark.readStream.schema(srcSchema)
             .option("maxFilesPerTrigger", 2).parquet(srcPath)
             .writeStream
             .option("checkpointLocation", s"$root/ckpt_$epoch")
             .trigger(Trigger.AvailableNow())
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
               val ss = batch.sparkSession
               // 3 consumers (bands, verify, anti) -> materialize once
               val bs = signedDocs(batch).localCheckpoint(true)
@@ -2119,26 +2069,52 @@ object QueriesLlm {
                   call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
                 .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
                 .select(col("w_id").as("doc_id")).distinct()
+              // batchId is stable across retries -> a replayed batch
+              // OVERWRITES its own staging directory (idempotent),
+              // never appends a second copy
               bs.join(dup, Seq("doc_id"), "left_anti")
                 .select(col("doc_id"), col("lang"), col("hl"), col("sz"), col("sig"))
-                .write.mode("append").parquet(stage)
+                .write.mode("overwrite").parquet(s"$stage/batch=$batchId")
             }
             .start()
           q.awaitTermination()
-          // ---- commit the epoch: staged novelties enter the index
-          val staged = spark.read.schema(stagedSchema).parquet(stage)
-            .localCheckpoint(true) // 2 writes
+        }
+        // commit the epoch: staged novelties enter the index; returns
+        // how many docs the commit added (0 on a replayed epoch)
+        def commitEpoch(epoch: Int): Long = {
+          // glob over the per-batch dirs: each globbed dir is its own
+          // base path, so no `batch` partition column is inferred and
+          // a zero-accept batch (dir with no part files) reads empty
+          // under the explicit schema
+          val staged = spark.read.schema(stagedSchema)
+            .parquet(s"$root/stage_$epoch/batch=*")
+            .localCheckpoint(true) // 2 writes + count
           graft.sources.Bucketed.writeBucketed(
             staged.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
               .withColumn("epoch", lit(epoch)),
-            docTable, 8, Seq("doc_id"), mode = "append", path = Some(docPath))
+            docTable, nb, Seq("doc_id"), mode = "append", path = Some(docPath))
           graft.sources.Bucketed.writeBucketed(bandKeysOf(staged),
-            bandTable, 8, Seq("bkey"), mode = "append", path = Some(bandPath))
+            bandTable, nb, Seq("bkey"), mode = "append", path = Some(bandPath))
           spark.catalog.refreshByPath(docPath)
           spark.catalog.refreshByPath(bandPath)
+          staged.count()
         }
-        runWave(1, s"$root/src1")
-        runWave(2, s"$root/src2")
+        runStream(1, s"$root/src1")
+        commitEpoch(1)
+        // ---- replay leg: wipe the checkpoint and re-run wave 1
+        // against the now-committed index. Every doc epoch 1 accepted
+        // now matches its own index entry, so the replay must stage —
+        // and its re-commit must add — exactly 0 docs. This is the
+        // property that makes a cluster-side batch retry (or a whole
+        // re-submitted wave) harmless.
+        Fixtures.rmrf(new java.io.File(s"$root/ckpt_1"))
+        runStream(1, s"$root/src1")
+        val replayed = commitEpoch(1)
+        require(replayed == 0L,
+          s"checkpoint-cleared replay of wave 1 committed $replayed docs; " +
+            "staging must be idempotent under replay")
+        runStream(2, s"$root/src2")
+        commitEpoch(2)
         spark.table(docTable)
           .groupBy(col("epoch"), col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),

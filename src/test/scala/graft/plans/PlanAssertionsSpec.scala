@@ -42,6 +42,25 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q108: band self-join is a shuffled equi-join on the band key — no corpus broadcast") {
+    // force the large-side plan (at 100 TB neither side of the band
+    // self-join is broadcastable; at sf0.001 Spark would happily
+    // broadcast the checkpointed signature pass, masking the shape)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q108_dedup_minhash_word")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "band self-join must shuffle on the band key\n" + p)
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        "no side of the self-join may broadcast the corpus\n" + p)
+      assert(p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("band_key"), "join key must be the minhash band key\n" + p)
+      assert(p.contains("sorted_inter_count"),
+        "verify must be the native two-pointer intersect\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q53: IVF search joins on cell only; top-k is rank-limited before the full sort") {
     val p = plan("q53_knn_ivf")
     assert(p.contains("WindowGroupLimit"), "rn <= k should push below the window sort\n" + p)

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *     though its reason is not. Epoch 1 holds only +300000 decoys,
   *     epoch 2 only +500000 fresh decoys, and epoch 0 is exactly the
   *     seed corpus.
+  *
+  * A third property — staging is idempotent under micro-batch replay —
+  * is asserted INSIDE the gate itself (and therefore twice by this
+  * spec's double rebuild): after epoch 1 commits, the gate wipes the
+  * checkpoint, re-runs wave 1 end-to-end, and `require`s that the
+  * re-commit adds 0 docs. Per-batch staging writes are batchId-keyed
+  * overwrites, so a retried batch rewrites its own directory rather
+  * than appending a second copy of its novelties.
   */
 class StreamDedupSpec extends SparkSpec {
 

@@ -29,6 +29,18 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     "q108_dedup_minhash_word",
 }
 
+# Oracles that are correct but expensive in DuckDB at sf1 — they get a
+# larger per-query budget instead of the sweep default, so the gate
+# isn't load-sensitive on a shared box. q82's CDS-assembly oracle
+# passes in ~215s wall standalone at sf1 but blew the 150s sweep
+# default under co-tenant load in r7b (PLANS.md footnote, VERDICT r7
+# "What's missing" #3). Engine-side q82 completes inside Verify at sf1
+# both rounds; the budget only covers the ORACLE's cost. 900s = ~4x
+# the standalone wall time, sized for a loaded box.
+SLOW_ORACLE_TIMEOUT = {
+    "q82_postprocess_fasta": 900,
+}
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -38,8 +50,9 @@ def main():
     for n in names:
         if n in QUADRATIC:
             continue
+        budget = str(SLOW_ORACLE_TIMEOUT.get(n, per_query_timeout))
         r = subprocess.run(
-            ["timeout", per_query_timeout, "python3", "-u", "tools/check.py",
+            ["timeout", budget, "python3", "-u", "tools/check.py",
              sf_dir, out_dir, n],
             capture_output=True, text=True)
         lines = r.stdout.strip().splitlines()
