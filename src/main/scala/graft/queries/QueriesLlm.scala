@@ -37,8 +37,56 @@ object QueriesLlm {
 
   // signedDocs / bandKeysOf / minhashCtes / verifiedDupCte — the
   // shared minhash front end + oracle mirrors — live in
-  // functions/MinhashPipeline (one definition for q99/q108/q109)
+  // functions/MinhashPipeline (one definition for q99/q108/q109/q110)
   import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, minhashCtes, verifiedDupCte}
+
+  /** The two-sequential-waves epoch-dedup oracle, shared VERBATIM by
+    * q109 (streaming path) and q110 (batch path with a mid-pipeline
+    * index compaction): both engines must produce the identical
+    * per-epoch rollup, which is exactly what makes q110's compaction
+    * provably semantics-free — same oracle, different physical path. */
+  private lazy val epochDedupOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
+       |w1 AS (
+       |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 4),
+       |w2 AS (
+       |  SELECT doc_id + 400000 AS doc_id, lang, reverse(text) AS text
+       |  FROM corpus WHERE doc_id % 20 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 500000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 8),
+       |${minhashCtes("i", "corpus")},
+       |${minhashCtes("a", "w1")},
+       |${minhashCtes("b", "w2")},
+       |a_dup AS (
+       |  ${verifiedDupCte("a", "idocs", "ibands")}),
+       |acc1 AS (SELECT doc_id, lang, hl, sz FROM adocs
+       |         WHERE doc_id NOT IN (SELECT w_id FROM a_dup)),
+       |i1docs AS (SELECT doc_id, hl, sz FROM idocs
+       |           UNION ALL SELECT doc_id, hl, sz FROM acc1),
+       |i1bands AS (SELECT doc_id, bkey FROM ibands
+       |            UNION ALL
+       |            SELECT doc_id, bkey FROM abands
+       |            WHERE doc_id IN (SELECT doc_id FROM acc1)),
+       |b_dup AS (
+       |  ${verifiedDupCte("b", "i1docs", "i1bands")}),
+       |acc2 AS (SELECT doc_id, lang, hl, sz FROM bdocs
+       |         WHERE doc_id NOT IN (SELECT w_id FROM b_dup))
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS INTEGER) AS epoch, lang, count(*) AS n_docs,
+       |    CAST(sum(sz) AS BIGINT) AS sum_sz, CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |  FROM idocs GROUP BY 2
+       |  UNION ALL
+       |  SELECT CAST(1 AS INTEGER), lang, count(*),
+       |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+       |  FROM acc1 GROUP BY 2
+       |  UNION ALL
+       |  SELECT CAST(2 AS INTEGER), lang, count(*),
+       |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+       |  FROM acc2 GROUP BY 2)
+       |ORDER BY epoch, lang""".stripMargin
 
   /** Distinct 5-token-gram fingerprints per doc over the q76
     * deterministic train/test split (val dropped) — shared by q93
@@ -2121,47 +2169,100 @@ object QueriesLlm {
             sum(col("doc_id")).as("sum_id"))
           .orderBy(col("epoch"), col("lang"))
       },
-      Some(
-        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
-           |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
-           |w1 AS (
-           |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus WHERE doc_id % 20 = 0
-           |  UNION ALL
-           |  SELECT doc_id + 300000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 4),
-           |w2 AS (
-           |  SELECT doc_id + 400000 AS doc_id, lang, reverse(text) AS text
-           |  FROM corpus WHERE doc_id % 20 = 4
-           |  UNION ALL
-           |  SELECT doc_id + 500000, lang, reverse(text) FROM corpus WHERE doc_id % 20 = 8),
-           |${minhashCtes("i", "corpus")},
-           |${minhashCtes("a", "w1")},
-           |${minhashCtes("b", "w2")},
-           |a_dup AS (
-           |  ${verifiedDupCte("a", "idocs", "ibands")}),
-           |acc1 AS (SELECT doc_id, lang, hl, sz FROM adocs
-           |         WHERE doc_id NOT IN (SELECT w_id FROM a_dup)),
-           |i1docs AS (SELECT doc_id, hl, sz FROM idocs
-           |           UNION ALL SELECT doc_id, hl, sz FROM acc1),
-           |i1bands AS (SELECT doc_id, bkey FROM ibands
-           |            UNION ALL
-           |            SELECT doc_id, bkey FROM abands
-           |            WHERE doc_id IN (SELECT doc_id FROM acc1)),
-           |b_dup AS (
-           |  ${verifiedDupCte("b", "i1docs", "i1bands")}),
-           |acc2 AS (SELECT doc_id, lang, hl, sz FROM bdocs
-           |         WHERE doc_id NOT IN (SELECT w_id FROM b_dup))
-           |SELECT * FROM (
-           |  SELECT CAST(0 AS INTEGER) AS epoch, lang, count(*) AS n_docs,
-           |    CAST(sum(sz) AS BIGINT) AS sum_sz, CAST(sum(doc_id) AS BIGINT) AS sum_id
-           |  FROM idocs GROUP BY 2
-           |  UNION ALL
-           |  SELECT CAST(1 AS INTEGER), lang, count(*),
-           |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
-           |  FROM acc1 GROUP BY 2
-           |  UNION ALL
-           |  SELECT CAST(2 AS INTEGER), lang, count(*),
-           |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
-           |  FROM acc2 GROUP BY 2)
-           |ORDER BY epoch, lang""".stripMargin))
+      Some(epochDedupOracle)),
+
+    // -- Index COMPACTION is semantics-free, proven by oracle: the
+    // batch twin of q109 (same corpus contract, same two wave strata,
+    // same epoch commits) with one difference — between the epoch-1
+    // commit and wave 2, the doc and band index tables are compacted
+    // with `Bucketed.compact` (epoch file sets collapsed AND bucket
+    // count doubled 8 -> 16, the capacity-growth rewrite from the
+    // q109 maintenance note in PLANS.md). Wave 2 then dedups against
+    // the COMPACTED index — exchange-free at the new bucket count —
+    // and the final rollup is hash-compared against the IDENTICAL
+    // oracle q109 uses. A compaction that dropped, duplicated, or
+    // re-keyed anything would shift acc2 and fail the gate. 100 TB:
+    // this is the periodic maintenance job run at epoch barriers;
+    // the gate proves it can be dropped into the middle of a live
+    // ingestion pipeline without changing any acceptance decision.
+    Q("q110_index_compaction",
+      (spark, dir) => {
+        val root = "/root/repo/tmp/compactdedup"
+        val docPath = s"$root/idx_docs"
+        val bandPath = s"$root/idx_bands"
+        val docTable = "graft_q110_docs"
+        val bandTable = "graft_q110_bands"
+        spark.sql(s"DROP TABLE IF EXISTS $docTable")
+        spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+        Fixtures.rmrf(new java.io.File(root))
+        val corpus = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+          .select("doc_id", "lang", "text")
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        // ---- epoch 0: the seed index (q109's batch shape)
+        val seed = signedDocs(corpus).localCheckpoint(true) // 2 writes
+        graft.sources.Bucketed.writeBucketed(
+          seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+            .withColumn("epoch", lit(0)),
+          docTable, nb, Seq("doc_id"), path = Some(docPath))
+        graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
+          bandTable, nb, Seq("bkey"), path = Some(bandPath))
+        // accepted (novel) docs of a signed wave vs the CURRENT index
+        def accept(wsig: org.apache.spark.sql.DataFrame) = {
+          val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
+            .join(spark.table(bandTable), "bkey") // index side exchange-free
+            .select(col("w_id"), col("doc_id").as("idx_id"))
+            .distinct()
+          val dup = cand
+            .join(spark.table(docTable).select(col("doc_id").as("idx_id"),
+              col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
+            .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
+              col("sz").as("sz_w")), "w_id")
+            .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
+            .withColumn("inter",
+              call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
+            .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+            .select(col("w_id").as("doc_id")).distinct()
+          wsig.join(dup, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // 2 writes below
+        }
+        // append must match the table's CURRENT bucket spec
+        def commit(epoch: Int, accepted: org.apache.spark.sql.DataFrame,
+                   buckets: Int): Unit = {
+          graft.sources.Bucketed.writeBucketed(
+            accepted.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+              .withColumn("epoch", lit(epoch)),
+            docTable, buckets, Seq("doc_id"), mode = "append", path = Some(docPath))
+          graft.sources.Bucketed.writeBucketed(bandKeysOf(accepted),
+            bandTable, buckets, Seq("bkey"), mode = "append", path = Some(bandPath))
+          spark.catalog.refreshByPath(docPath)
+          spark.catalog.refreshByPath(bandPath)
+        }
+        val w1 = corpus.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+            .withColumn("doc_id", col("doc_id") + 300000L)
+            .withColumn("text", reverse(col("text"))))
+        val w2 = corpus.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 400000L)
+          .withColumn("text", reverse(col("text")))
+          .unionByName(corpus.filter(col("doc_id") % 20 === 8)
+            .withColumn("doc_id", col("doc_id") + 500000L)
+            .withColumn("text", reverse(col("text"))))
+        commit(1, accept(signedDocs(w1)), nb)
+        // ---- THE OPERATION UNDER TEST: collapse epoch file sets and
+        // grow capacity 8 -> 16 buckets, at the epoch barrier
+        graft.sources.Bucketed.compact(spark, docTable, nb * 2,
+          Seq("doc_id"), path = Some(docPath))
+        graft.sources.Bucketed.compact(spark, bandTable, nb * 2,
+          Seq("bkey"), path = Some(bandPath))
+        commit(2, accept(signedDocs(w2)), nb * 2)
+        spark.table(docTable)
+          .groupBy(col("epoch"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+            sum(col("doc_id")).as("sum_id"))
+          .orderBy(col("epoch"), col("lang"))
+      },
+      Some(epochDedupOracle))
   )
 }

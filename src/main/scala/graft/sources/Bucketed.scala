@@ -38,4 +38,37 @@ object Bucketed {
       .sortBy(keys.head, keys.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Compact a bucketed table in place: rewrite it under a fresh
+    * bucket spec, collapsing the one-file-set-per-append accumulation
+    * back to one file set and (optionally) changing the bucket count.
+    *
+    * The maintenance job for append-grown index tables (q99/q109's
+    * epoch commits, q91's streaming store): every `mode="append"`
+    * write lands its own file set per bucket, so after E epochs each
+    * bucket scan opens E files; and the bucket count itself is a
+    * capacity parameter ([[graft.functions.DedupConfig.IndexBuckets]])
+    * that the corpus eventually outgrows. One paid shuffle here
+    * restores single-file buckets at the new parallelism, after which
+    * every subsequent join on `keys` is exchange-free again —
+    * identical rows, identical downstream plans. Run it at an epoch
+    * barrier (q109) or between waves (q99/q91), where the table is
+    * frozen by construction; the swap is a catalog rename, not a
+    * read-blocking rewrite, on a real metastore.
+    *
+    * Implementation note: the table is snapshotted via localCheckpoint
+    * (cutting lineage to the source files) before the drop+rewrite, so
+    * the write never reads files it is replacing. On a production
+    * metastore the rewrite would stage under a sibling name and swap
+    * with a catalog rename so readers never observe the gap; the
+    * single-JVM gate form trades that for one write. */
+  def compact(spark: org.apache.spark.sql.SparkSession, table: String,
+              buckets: Int, keys: Seq[String],
+              path: Option[String] = None): Unit = {
+    val snapshot = spark.table(table).localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    writeBucketed(snapshot, table, buckets, keys, path = path)
+    path.foreach(spark.catalog.refreshByPath)
+    snapshot.unpersist()
+  }
 }

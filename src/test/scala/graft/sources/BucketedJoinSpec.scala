@@ -95,4 +95,56 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_q91s_bkt")
     }
   }
+
+  test("compact: epoch-appended index re-buckets to one file set, same rows, still exchange-free") {
+    // the q99/q109 maintenance job: each epoch commit appends its own
+    // file set per bucket, and the bucket count is a capacity
+    // parameter the corpus outgrows — compact() collapses the files
+    // AND re-buckets in one paid shuffle, with identical rows and the
+    // exchange-free join preserved at the new parallelism
+    val t = "graft_compact_bkt"
+    val p = "/root/repo/tmp/compact_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def epoch(e: Int) = (0 until 2000)
+        .map(i => (i.toLong + e * 10000, i.toLong % 7, e)).toDF("k", "v", "epoch")
+      Bucketed.writeBucketed(epoch(0), t, 4, Seq("k"), path = Some(p))
+      (1 to 3).foreach(e =>
+        Bucketed.writeBucketed(epoch(e), t, 4, Seq("k"), mode = "append", path = Some(p)))
+      val filesBefore = parquetFiles()
+      val rowsBefore = spark.table(t).count()
+      val sumBefore = spark.table(t).agg(sum($"k")).head.getLong(0)
+      assert(rowsBefore == 8000L)
+
+      Bucketed.compact(spark, t, 8, Seq("k"), path = Some(p))
+
+      assert(spark.table(t).count() == rowsBefore, "compact must not change rows")
+      assert(spark.table(t).agg(sum($"k")).head.getLong(0) == sumBefore)
+      assert(parquetFiles() < filesBefore,
+        s"compaction must shrink the file count (before=$filesBefore after=${parquetFiles()})")
+      // the join is exchange-free on the bucketed side at the NEW
+      // bucket count: only the probe side shuffles
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val wave = (0 until 500).map(i => (i.toLong * 13, i.toLong)).toDF("k", "w")
+      val j = wave.join(spark.table(t), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
