@@ -216,17 +216,10 @@ object Prof {
       col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")) >= JaccThreshold)
     time("q88 verify")(println(s"PROF   q88 verified pairs: ${ver88.count()}"))
 
-    // ---- q99: distinct (wave, index) band-bucket hits
-    def signed(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"),
-        sort_array(array_distinct(TF.shingleHashes(col("text")))).as("hl"))
-      .withColumn("sz", size(col("hl")).cast("long"))
-      .filter(col("sz") > 0)
-      .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
-    def bandsOf(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
-        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
-      .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+    // ---- q99: distinct (wave, index) band-bucket hits — the
+    // signing/banding is the gates' own shared front end, so the
+    // profiled stage can never drift from what q99/q109/q110 run
+    import graft.functions.MinhashPipeline.{signedDocs => signed, bandKeysOf => bandsOf}
     val corpus99 = docs.filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
       .select("doc_id", "lang", "text")
     val wave99 = corpus99.filter(col("doc_id") % 20 === 0)

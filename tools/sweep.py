@@ -11,6 +11,15 @@ and only diverged once duplicate sort keys landed in the same group.
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 tmp/verify_sf01"
   python3 tools/sweep.py /root/testdata/sf0.1 tmp/verify_sf01 [timeout_s]
+
+Fixture-clobbering caveat: the file-format gates (q78/q79/q80/q83/
+q85/q89/q107...) write their fixture files at STATIC paths shared
+across scale factors, and their oracles re-read those files. Run the
+sweep directly after the Verify dump for the SAME sf dir — an
+interleaved Verify at another SF rewrites the fixtures and the oracle
+then reads the wrong corpus (this bit the r8 sf1 sweep: q79 "failed"
+against an sf0.01-sized fixture clobbered by a concurrent sf0.01 run;
+it passes when re-dumped and checked in order).
 """
 import json
 import subprocess
@@ -31,14 +40,18 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
 
 # Oracles that are correct but expensive in DuckDB at sf1 — they get a
 # larger per-query budget instead of the sweep default, so the gate
-# isn't load-sensitive on a shared box. q82's CDS-assembly oracle
-# passes in ~215s wall standalone at sf1 but blew the 150s sweep
-# default under co-tenant load in r7b (PLANS.md footnote, VERDICT r7
-# "What's missing" #3). Engine-side q82 completes inside Verify at sf1
-# both rounds; the budget only covers the ORACLE's cost. 900s = ~4x
-# the standalone wall time, sized for a loaded box.
+# isn't load-sensitive on a shared box. Engine-side all three complete
+# inside Verify at sf1; the budget only covers the ORACLE's cost.
+# - q82's CDS-assembly oracle: ~215s wall standalone at sf1, blew the
+#   150s default under co-tenant load in r7b (VERDICT r7 missing #3).
+# - q109/q110 share the two-sequential-waves epoch-dedup oracle
+#   (3x minhashCtes over the corpus + two verify passes): ~300s wall /
+#   ~140 CPU-min each at sf1 (r8 measurement, artifacts/).
+# 900s ~= 3-4x the standalone wall times, sized for a loaded box.
 SLOW_ORACLE_TIMEOUT = {
     "q82_postprocess_fasta": 900,
+    "q109_stream_dedup": 900,
+    "q110_index_compaction": 900,
 }
 
 
