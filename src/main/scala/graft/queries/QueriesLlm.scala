@@ -2263,6 +2263,195 @@ object QueriesLlm {
             sum(col("doc_id")).as("sum_id"))
           .orderBy(col("epoch"), col("lang"))
       },
-      Some(epochDedupOracle))
+      Some(epochDedupOracle)),
+
+    // -- INDEX RETRACTION: delete a document set from the persistent
+    // dedup index (takedown / retention / right-to-be-forgotten — at
+    // corpus scale deletions are a first-class operation, not an
+    // edge case) and prove the deletion is SEMANTICALLY REAL, not
+    // just fewer rows: after retracting R, a new doc whose only
+    // near-dup was in R must now be ACCEPTED, while docs matching
+    // retained index entries are still rejected. Physical path is
+    // the filtered-rewrite form of q110's compaction (anti-join the
+    // tombstone set, one bucketed rewrite per table, run at an epoch
+    // barrier); at 100 TB the same tombstone set can instead be
+    // anti-joined per batch until the next scheduled compaction
+    // physically purges it — both forms are one shuffle amortized
+    // over every later wave. The oracle rebuilds its index CTEs from
+    // the RETAINED corpus only, so a retraction that left a band
+    // entry behind (ghost match -> wrong rejection) or dropped a
+    // retained doc (wrong acceptance) shifts the rollup and fails
+    // the hash.
+    Q("q112_index_retraction",
+      (spark, dir) => {
+        val root = "/root/repo/tmp/retractdedup"
+        val docPath = s"$root/idx_docs"
+        val bandPath = s"$root/idx_bands"
+        val docTable = "graft_q112_docs"
+        val bandTable = "graft_q112_bands"
+        spark.sql(s"DROP TABLE IF EXISTS $docTable")
+        spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+        Fixtures.rmrf(new java.io.File(root))
+        val corpus = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+          .select("doc_id", "lang", "text")
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val seed = signedDocs(corpus).localCheckpoint(true) // 2 writes
+        graft.sources.Bucketed.writeBucketed(
+          seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+            .withColumn("epoch", lit(0)),
+          docTable, nb, Seq("doc_id"), path = Some(docPath))
+        graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
+          bandTable, nb, Seq("bkey"), path = Some(bandPath))
+        // ---- retract R = every 10th indexed doc (doc_id % 40 == 0):
+        // tombstone anti-join + bucketed rewrite of BOTH tables (the
+        // band table must lose R's entries too, or ghosts remain)
+        val tombstones = corpus.filter(col("doc_id") % 40 === 0)
+          .select("doc_id").localCheckpoint(true) // 2 rewrites below
+        def retract(t: String, keys: Seq[String], p: String): Unit = {
+          val kept = spark.table(t)
+            .join(tombstones, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          graft.sources.Bucketed.writeBucketed(kept, t, nb, keys, path = Some(p))
+          spark.catalog.refreshByPath(p)
+        }
+        retract(docTable, Seq("doc_id"), docPath)
+        retract(bandTable, Seq("bkey"), bandPath)
+        // ---- the probe wave: exact copies of RETRACTED docs (must
+        // now be accepted — the observable effect of deletion) mixed
+        // with exact copies of RETAINED docs (must still be rejected)
+        val wave = corpus.filter(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 600000L)
+          .unionByName(corpus.filter(col("doc_id") % 40 === 20)
+            .withColumn("doc_id", col("doc_id") + 700000L))
+        val wsig = signedDocs(wave).localCheckpoint(true) // bands + verify + anti
+        val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
+          .join(spark.table(bandTable), "bkey") // index side exchange-free
+          .select(col("w_id"), col("doc_id").as("idx_id"))
+          .distinct()
+        val dup = cand
+          .join(spark.table(docTable).select(col("doc_id").as("idx_id"),
+            col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
+          .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
+            col("sz").as("sz_w")), "w_id")
+          .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
+          .withColumn("inter",
+            call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
+          .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+          .select(col("w_id").as("doc_id")).distinct()
+        val accepted = wsig.join(dup, Seq("doc_id"), "left_anti")
+        graft.sources.Bucketed.writeBucketed(
+          accepted.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+            .withColumn("epoch", lit(1)),
+          docTable, nb, Seq("doc_id"), mode = "append", path = Some(docPath))
+        spark.catalog.refreshByPath(docPath)
+        spark.table(docTable)
+          .groupBy(col("epoch"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+            sum(col("doc_id")).as("sum_id"))
+          .orderBy(col("epoch"), col("lang"))
+      },
+      Some(
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
+           |retained AS (SELECT * FROM corpus WHERE doc_id % 40 <> 0),
+           |wave AS (
+           |  SELECT doc_id + 600000 AS doc_id, lang, text FROM corpus WHERE doc_id % 40 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 700000, lang, text FROM corpus WHERE doc_id % 40 = 20),
+           |${minhashCtes("i", "retained")},
+           |${minhashCtes("w", "wave")},
+           |w_dup AS (
+           |  ${verifiedDupCte("w", "idocs", "ibands")}),
+           |acc AS (SELECT doc_id, lang, hl, sz FROM wdocs
+           |        WHERE doc_id NOT IN (SELECT w_id FROM w_dup))
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS INTEGER) AS epoch, lang, count(*) AS n_docs,
+           |    CAST(sum(sz) AS BIGINT) AS sum_sz, CAST(sum(doc_id) AS BIGINT) AS sum_id
+           |  FROM idocs GROUP BY 2
+           |  UNION ALL
+           |  SELECT CAST(1 AS INTEGER), lang, count(*),
+           |    CAST(sum(sz) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+           |  FROM acc GROUP BY 2)
+           |ORDER BY epoch, lang""".stripMargin)),
+
+    // -- DATA MIXTURE: fill a per-language TOKEN BUDGET with a
+    // deterministic, resample-stable document selection — the "data
+    // mixing" step of corpus assembly (fix the en/other ratio of a
+    // training mix by token count, not doc count). Selection order is
+    // the q96 hash rank (md5 of doc_id + salt): a pure function of
+    // identity, so growing the corpus never evicts an already-chosen
+    // doc except by budget pressure, and any engine reproduces the
+    // same set. Greedy fill: a doc is kept iff the tokens of all
+    // higher-priority docs in its language total < budget.
+    //
+    // The ORACLE implements that spec directly as one windowed prefix
+    // sum per language. The ENGINE deliberately does NOT: a global
+    // per-language sort is the thing you cannot afford at 100 TB, so
+    // it runs the two-phase quota fill — (1) histogram token mass by
+    // the first 2 hex chars of the hash (256 buckets; tiny aggregate,
+    // fully parallel), cumulate ACROSS buckets (a window over <=
+    // 256*n_lang rows), admit every bucket that fits entirely within
+    // budget WITHOUT any per-doc sort; (2) sort only the single
+    // threshold bucket per language (~1/256 of one language's docs;
+    // recurse on more hash chars if even that is too big) to fill the
+    // remainder. Hash-identical output to the oracle's global sort —
+    // the gate proves algorithm-level equivalence, not just row
+    // parity. Map-only over the corpus except one tiny aggregate and
+    // one 1/256-sized window.
+    Q("q111_data_mixture",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TF.tokenCount(col("text")).cast("long").as("t"),
+            md5(concat(col("doc_id").cast("string"), lit(":mix"))).as("h"))
+          .withColumn("b", substring(col("h"), 1, 2))
+        val budget = when(col("lang") === "en", 8000L).otherwise(5000L)
+        val wB = Window.partitionBy(col("lang")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = d.groupBy(col("lang"), col("b")).agg(sum(col("t")).as("bt"))
+          .withColumn("cumb", coalesce(sum(col("bt")).over(wB), lit(0L)))
+          .withColumn("budget", budget)
+        // whole buckets under budget: admitted with NO per-doc sort
+        val full = d.join(
+          hist.filter(col("cumb") + col("bt") <= col("budget"))
+            .select("lang", "b"),
+          Seq("lang", "b"))
+        // the one straddling bucket per language: sort just its docs
+        val wD = Window.partitionBy(col("lang"), col("b"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val straddle = d.join(
+          hist.filter(col("cumb") < col("budget") &&
+              col("cumb") + col("bt") > col("budget"))
+            .select(col("lang"), col("b"), col("cumb"), col("budget")),
+          Seq("lang", "b"))
+          .withColumn("cumd", coalesce(sum(col("t")).over(wD), lit(0L)))
+          .filter(col("cumb") + col("cumd") < col("budget"))
+        full.select("doc_id", "lang", "t")
+          .unionByName(straddle.select("doc_id", "lang", "t"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+            sum(col("doc_id")).as("sum_id"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t,
+          |    md5(CAST(doc_id AS VARCHAR) || ':mix') AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, t,
+          |    COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM d)
+          |SELECT lang, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+          |FROM c
+          |WHERE cum < CASE WHEN lang = 'en' THEN 8000 ELSE 5000 END
+          |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -52,6 +52,7 @@ SLOW_ORACLE_TIMEOUT = {
     "q82_postprocess_fasta": 900,
     "q109_stream_dedup": 900,
     "q110_index_compaction": 900,
+    "q112_index_retraction": 900,  # 2x minhashCtes + 1 verify pass
 }
 
 
