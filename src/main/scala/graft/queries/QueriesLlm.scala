@@ -2376,6 +2376,78 @@ object QueriesLlm {
            |  FROM acc GROUP BY 2)
            |ORDER BY epoch, lang""".stripMargin)),
 
+    // -- K-MEANS REFINEMENT STEP (IVF training): one exact Lloyd
+    // iteration over the embedding table — assign every vector to its
+    // nearest of K=8 seed centroids, emit per-cell membership, the
+    // k-means objective (sum of min squared distances), and the
+    // new-centroid mass. This is how the q53 IVF cells would actually
+    // be TRAINED at scale (q53 consumes cells; this produces them).
+    // All arithmetic is integer-exact so the DuckDB gate is a hash
+    // match, not a tolerance: embeddings quantize to fixed-point
+    // (floor(double(x)*1000) — double on both engines, so the floor
+    // is bit-identical), distances are BIGINT sums of squares,
+    // tie-break is (dist, cid). 100 TB: the K centroids ride along as
+    // ONE collect_list row cross-joined in (a broadcast of K*Dim
+    // longs); assignment is map-side arithmetic with NO per-vector
+    // shuffle — the plan's only exchange is the final K-row rollup.
+    // Lloyd's next iteration needs the per-dim sums, which are the
+    // same one-exchange shape (posexplode + groupBy(cid, dim)).
+    Q("q113_kmeans_step",
+      (spark, dir) => {
+        val K8 = 8
+        val q = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+        // K seed centroids -> ONE deterministic array-of-structs row
+        // (sort_array fixes collect_list's arrival order)
+        val cents = q.filter(col("vec_id") < K8)
+          .select(struct(col("vec_id").as("cid"), col("qv").as("cqv")).as("c"))
+          .agg(sort_array(collect_list(col("c"))).as("cents"))
+        val best = q.crossJoin(cents) // 1-row side -> broadcast
+          .select(col("vec_id"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
+            array_min(transform(col("cents"), c =>
+              struct(
+                aggregate(
+                  zip_with(col("qv"), c.getField("cqv"),
+                    (a, b) => (a - b) * (a - b)),
+                  lit(0L), (a, x) => a + x).as("dist"),
+                c.getField("cid").as("cid")))).as("best"))
+        best.groupBy(col("best.cid").as("cid"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("vec_id")).as("sum_vid"),
+            sum(col("best.dist")).as("obj"),
+            sum(col("qsum")).as("centroid_sum"))
+          .orderBy(col("cid"))
+      },
+      Some(
+        s"""WITH q AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |c AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 8),
+           |d AS (
+           |  SELECT q.vec_id, c.cid,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [(q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i])
+           |       FOR i IN generate_series(1, ${Dim})]),
+           |      (a, x) -> a + x) AS dist,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), q.qv),
+           |      (a, x) -> a + x) AS qsum
+           |  FROM q, c),
+           |a AS (
+           |  SELECT vec_id, cid, dist, qsum,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM d)
+           |SELECT cid, count(*) AS n_members,
+           |  CAST(sum(vec_id) AS BIGINT) AS sum_vid,
+           |  CAST(sum(dist) AS BIGINT) AS obj,
+           |  CAST(sum(qsum) AS BIGINT) AS centroid_sum
+           |FROM a WHERE rn = 1
+           |GROUP BY cid ORDER BY cid""".stripMargin)),
+
     // -- DATA MIXTURE: fill a per-language TOKEN BUDGET with a
     // deterministic, resample-stable document selection — the "data
     // mixing" step of corpus assembly (fix the en/other ratio of a

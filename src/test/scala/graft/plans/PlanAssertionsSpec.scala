@@ -61,6 +61,21 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q113: k-means assignment is map-side — the rollup is the plan's only data exchange") {
+    val p = plan("q113_kmeans_step")
+    // the centroid side rides in as a 1-row broadcast; per-vector
+    // assignment must not shuffle — only the K-row rollup exchanges.
+    // (the centroid-array build has its own tiny single-partition agg;
+    // what must NOT appear is a hashpartitioning of the vector table
+    // beyond the final groupBy(cid))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "per-vector assignment must not shuffle-join\n" + p)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      "only the final rollup may hash-exchange\n" + p)
+  }
+
   test("q53: IVF search joins on cell only; top-k is rank-limited before the full sort") {
     val p = plan("q53_knn_ivf")
     assert(p.contains("WindowGroupLimit"), "rn <= k should push below the window sort\n" + p)
