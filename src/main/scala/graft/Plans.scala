@@ -13,7 +13,8 @@ object Plans {
       else Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status",
         "q44_knn_bruteforce", "q43_dedup_ngram_jaccard", "q53_knn_ivf",
         "q40_dedup_exact", "q41_dedup_minhash_lsh", "q63_dedup_upsert",
-        "q82_postprocess_fasta", "q84_pipeline_chain")
+        "q82_postprocess_fasta", "q84_pipeline_chain",
+        "q108_dedup_minhash_word", "q111_data_mixture", "q113_kmeans_step")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
