@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      s"${graft.queries.Fixtures.testdataRoot}/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -87,7 +88,7 @@ object Bench {
       s""""queries":$qs,"all_runs":$allRuns,"loadavg":$loads,"sf":"$sfDir"}"""
     // absolute path: a run from another working directory must not
     // scatter the detail file, and a failed write must say so
-    val detailPath = "/root/repo/tmp/bench_now.json"
+    val detailPath = s"${graft.queries.Fixtures.scratchRoot}/bench_now.json"
     try {
       new java.io.File(detailPath).getParentFile.mkdirs()
       val w = new java.io.PrintWriter(detailPath)

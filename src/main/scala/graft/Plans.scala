@@ -7,7 +7,7 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = s"${graft.queries.Fixtures.testdataRoot}/sf0.01"
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_revenue_by_nation", "q25_genic_status",

@@ -12,7 +12,8 @@ import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold, sizeRatioOk}
   * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Prof"`. */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      s"${graft.queries.Fixtures.testdataRoot}/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)

@@ -12,7 +12,7 @@ object SparkEntry {
     * (chromosome, status) — the §7.2 minimum end-to-end slice. */
   def entry(spark: SparkSession): DataFrame =
     Catalog.all.find(_.name == "q25_genic_status").get
-      .fn(spark, "/root/testdata/sf0.001")
+      .fn(spark, s"${graft.queries.Fixtures.testdataRoot}/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

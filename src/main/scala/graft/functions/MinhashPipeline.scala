@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold}
+import graft.functions.DedupConfig.{K, Bands, Rpb, JaccThreshold, sizeRatioOk}
 
 /** The shared front end of the persistent-index MinHash dedup family —
   * q99's batch index, q108's production-granularity self-join, and
@@ -41,6 +41,53 @@ object MinhashPipeline {
     .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
       TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
     .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+
+  /** Verified near-duplicate PAIRS of a signed wave against the
+    * persistent bucketed index — the ENGINE side of the
+    * verify-before-insert contract, one definition for the whole index
+    * lifecycle (q99 build, q109 stream, q110 compact, q112 retract;
+    * each carried an inline copy until r9 — exactly the retune-drift
+    * hazard this object exists to prevent). Shape: band-key equi-join
+    * for candidates (the index side enters exchange-free from its
+    * bucketed scan), size-ratio necessary-condition prune BEFORE the
+    * intersect, then the native allocation-free two-pointer
+    * `sorted_inter_count` exact-Jaccard verify. Returns one row per
+    * surviving (w_id, idx_id) candidate pair; [[verifiedDupCte]] is
+    * the oracle-side mirror.
+    *
+    * `wsig` must come from [[signedDocs]] (sorted `hl`) and should be
+    * materialized by the caller (localCheckpoint) — it feeds both the
+    * banding and the verify join here, plus whatever the caller does
+    * with the result. */
+  def verifiedDupPairs(wsig: DataFrame, docTable: String,
+                       bandTable: String): DataFrame = {
+    val ss = wsig.sparkSession
+    val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
+      .join(ss.table(bandTable), "bkey") // index side exchange-free
+      .select(col("w_id"), col("doc_id").as("idx_id"))
+      .distinct()
+    cand
+      .join(ss.table(docTable).select(col("doc_id").as("idx_id"),
+        col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
+      .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
+        col("sz").as("sz_w")), "w_id")
+      .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
+      .withColumn("inter",
+        call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
+      .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+      .select(col("w_id"), col("idx_id"))
+  }
+
+  /** The ACCEPT side of the contract: wave docs with no verified match
+    * in the index (these are what an epoch commit appends). Anti-join
+    * keeps every `wsig` column, so staged novelties carry their
+    * signature through to the commit. */
+  def acceptAgainstIndex(wsig: DataFrame, docTable: String,
+                         bandTable: String): DataFrame =
+    wsig.join(
+      verifiedDupPairs(wsig, docTable, bandTable)
+        .select(col("w_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** DuckDB CTE block replaying shingle → minhash → band derivation
     * for `src` (doc_id, lang, text) under `prefix` — the oracle-side

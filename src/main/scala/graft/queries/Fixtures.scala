@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  /** Root for every gate-owned scratch tree (file-format fixtures,
+    * streaming checkpoints, bucketed index tables). Env-overridable so
+    * the catalog is runnable from any checkout; the default matches
+    * the driver harness layout. The ONLY absolute paths in src/main
+    * live here — gates derive from these two roots. */
+  val scratchRoot: String =
+    sys.env.getOrElse("GRAFT_SCRATCH_ROOT", "/root/repo/tmp")
+
+  /** Root of the driver-generated parquet test tables (TESTDATA.md). */
+  val testdataRoot: String =
+    sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
+
   /** Recursive delete (tiny local fixture trees only — the gates own
     * everything under `QueriesSources.FixtureDir`). */
   def rmrf(p: java.io.File): Unit = {

@@ -38,7 +38,8 @@ object QueriesLlm {
   // signedDocs / bandKeysOf / minhashCtes / verifiedDupCte — the
   // shared minhash front end + oracle mirrors — live in
   // functions/MinhashPipeline (one definition for q99/q108/q109/q110)
-  import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, minhashCtes, verifiedDupCte}
+  import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, minhashCtes,
+    verifiedDupCte, verifiedDupPairs, acceptAgainstIndex}
 
   /** The two-sequential-waves epoch-dedup oracle, shared VERBATIM by
     * q109 (streaming path) and q110 (batch path with a mid-pipeline
@@ -1543,21 +1544,10 @@ object QueriesLlm {
             .withColumn("doc_id", col("doc_id") + 300000L)
             .withColumn("text", reverse(col("text"))))
         val wsig = signedDocs(wave).localCheckpoint(true) // bands + verify + rollup
-        val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
-          .join(spark.table("graft_q99_bands"), "bkey")
-          .select(col("w_id"), col("doc_id").as("idx_id"))
-          .distinct()
-        val verified = cand
-          .join(spark.table("graft_q99_docs")
-            .select(col("doc_id").as("idx_id"), col("hl").as("hl_i"), col("sz").as("sz_i")),
-            "idx_id")
-          .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
-            col("sz").as("sz_w")), "w_id")
-          // necessary-condition prune BEFORE the intersect
-          .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
-          .withColumn("inter",
-            call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
-          .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
+        // candidate band join + size-ratio prune + native
+        // sorted_inter_count verify — the shared engine-side block
+        // (functions/MinhashPipeline), one definition with q109/q110/q112
+        val verified = verifiedDupPairs(wsig, "graft_q99_docs", "graft_q99_bands")
         wsig.select(col("doc_id"), col("lang"))
           .join(verified.groupBy(col("w_id").as("doc_id"))
             .agg(count(lit(1)).as("n_matches"), min(col("idx_id")).as("first_match")),
@@ -2052,7 +2042,7 @@ object QueriesLlm {
     Q("q109_stream_dedup",
       (spark, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        val root = "/root/repo/tmp/streamdedup"
+        val root = s"${Fixtures.scratchRoot}/streamdedup"
         val docPath = s"$root/idx_docs"
         val bandPath = s"$root/idx_bands"
         val docTable = "graft_q109_docs"
@@ -2100,27 +2090,14 @@ object QueriesLlm {
             .option("checkpointLocation", s"$root/ckpt_$epoch")
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-              val ss = batch.sparkSession
-              // 3 consumers (bands, verify, anti) -> materialize once
+              // 3 consumers (bands, verify, anti) -> materialize once;
+              // candidate/verify/anti is the shared acceptAgainstIndex
+              // (functions/MinhashPipeline) — store side exchange-free
               val bs = signedDocs(batch).localCheckpoint(true)
-              val cand = bandKeysOf(bs).withColumnRenamed("doc_id", "w_id")
-                .join(ss.table(bandTable), "bkey") // store side exchange-free
-                .select(col("w_id"), col("doc_id").as("idx_id"))
-                .distinct()
-              val dup = cand
-                .join(ss.table(docTable).select(col("doc_id").as("idx_id"),
-                  col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
-                .join(bs.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
-                  col("sz").as("sz_w")), "w_id")
-                .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
-                .withColumn("inter",
-                  call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
-                .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
-                .select(col("w_id").as("doc_id")).distinct()
               // batchId is stable across retries -> a replayed batch
               // OVERWRITES its own staging directory (idempotent),
               // never appends a second copy
-              bs.join(dup, Seq("doc_id"), "left_anti")
+              acceptAgainstIndex(bs, docTable, bandTable)
                 .select(col("doc_id"), col("lang"), col("hl"), col("sz"), col("sig"))
                 .write.mode("overwrite").parquet(s"$stage/batch=$batchId")
             }
@@ -2128,7 +2105,8 @@ object QueriesLlm {
           q.awaitTermination()
         }
         // commit the epoch: staged novelties enter the index; returns
-        // how many docs the commit added (0 on a replayed epoch)
+        // how many docs the commit added (0 on a replayed epoch OR a
+        // commit-level retry)
         def commitEpoch(epoch: Int): Long = {
           // glob over the per-batch dirs: each globbed dir is its own
           // base path, so no `batch` partition column is inferred and
@@ -2136,19 +2114,41 @@ object QueriesLlm {
           // under the explicit schema
           val staged = spark.read.schema(stagedSchema)
             .parquet(s"$root/stage_$epoch/batch=*")
+          // commit is idempotent INDEPENDENTLY of staging: only docs
+          // not already committed are appended, so a driver retry
+          // between stream completion and commit — or a double
+          // commitEpoch call with stale staged files — adds 0 rows by
+          // construction, not by relying on staging overwrite
+          // semantics. Cost: one id-only anti-join against the
+          // bucketed index (exchange-free on the index side).
+          val novel = staged
+            .join(spark.table(docTable).select("doc_id"), Seq("doc_id"), "left_anti")
             .localCheckpoint(true) // 2 writes + count
+          // bands BEFORE docs: novelty is judged against the doc
+          // table, so a crash between the appends leaves bands
+          // committed but docs not — the retry re-appends both, and
+          // the duplicate band rows are absorbed by the candidate
+          // `distinct()`. The reverse order would leave committed
+          // docs with NO band entries: unfindable, silently missed
+          // duplicates forever after.
+          graft.sources.Bucketed.writeBucketed(bandKeysOf(novel),
+            bandTable, nb, Seq("bkey"), mode = "append", path = Some(bandPath))
           graft.sources.Bucketed.writeBucketed(
-            staged.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+            novel.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
               .withColumn("epoch", lit(epoch)),
             docTable, nb, Seq("doc_id"), mode = "append", path = Some(docPath))
-          graft.sources.Bucketed.writeBucketed(bandKeysOf(staged),
-            bandTable, nb, Seq("bkey"), mode = "append", path = Some(bandPath))
           spark.catalog.refreshByPath(docPath)
           spark.catalog.refreshByPath(bandPath)
-          staged.count()
+          novel.count()
         }
         runStream(1, s"$root/src1")
         commitEpoch(1)
+        // commit-level retry (no stream re-run, staged files still on
+        // disk): the anti-join must make it a no-op
+        val recommitted = commitEpoch(1)
+        require(recommitted == 0L,
+          s"commit-level retry of epoch 1 added $recommitted docs; " +
+            "commitEpoch must be idempotent independently of staging")
         // ---- replay leg: wipe the checkpoint and re-run wave 1
         // against the now-committed index. Every doc epoch 1 accepted
         // now matches its own index entry, so the replay must stage —
@@ -2187,7 +2187,7 @@ object QueriesLlm {
     // ingestion pipeline without changing any acceptance decision.
     Q("q110_index_compaction",
       (spark, dir) => {
-        val root = "/root/repo/tmp/compactdedup"
+        val root = s"${Fixtures.scratchRoot}/compactdedup"
         val docPath = s"$root/idx_docs"
         val bandPath = s"$root/idx_bands"
         val docTable = "graft_q110_docs"
@@ -2207,25 +2207,11 @@ object QueriesLlm {
           docTable, nb, Seq("doc_id"), path = Some(docPath))
         graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
           bandTable, nb, Seq("bkey"), path = Some(bandPath))
-        // accepted (novel) docs of a signed wave vs the CURRENT index
-        def accept(wsig: org.apache.spark.sql.DataFrame) = {
-          val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
-            .join(spark.table(bandTable), "bkey") // index side exchange-free
-            .select(col("w_id"), col("doc_id").as("idx_id"))
-            .distinct()
-          val dup = cand
-            .join(spark.table(docTable).select(col("doc_id").as("idx_id"),
-              col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
-            .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
-              col("sz").as("sz_w")), "w_id")
-            .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
-            .withColumn("inter",
-              call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
-            .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
-            .select(col("w_id").as("doc_id")).distinct()
-          wsig.join(dup, Seq("doc_id"), "left_anti")
+        // accepted (novel) docs of a signed wave vs the CURRENT index —
+        // the shared acceptAgainstIndex (functions/MinhashPipeline)
+        def accept(wsig: org.apache.spark.sql.DataFrame) =
+          acceptAgainstIndex(wsig, docTable, bandTable)
             .localCheckpoint(true) // 2 writes below
-        }
         // append must match the table's CURRENT bucket spec
         def commit(epoch: Int, accepted: org.apache.spark.sql.DataFrame,
                    buckets: Int): Unit = {
@@ -2284,7 +2270,7 @@ object QueriesLlm {
     // the hash.
     Q("q112_index_retraction",
       (spark, dir) => {
-        val root = "/root/repo/tmp/retractdedup"
+        val root = s"${Fixtures.scratchRoot}/retractdedup"
         val docPath = s"$root/idx_docs"
         val bandPath = s"$root/idx_bands"
         val docTable = "graft_q112_docs"
@@ -2308,14 +2294,13 @@ object QueriesLlm {
         // band table must lose R's entries too, or ghosts remain)
         val tombstones = corpus.filter(col("doc_id") % 40 === 0)
           .select("doc_id").localCheckpoint(true) // 2 rewrites below
-        def retract(t: String, keys: Seq[String], p: String): Unit = {
-          val kept = spark.table(t)
-            .join(tombstones, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-          spark.sql(s"DROP TABLE IF EXISTS $t")
-          graft.sources.Bucketed.writeBucketed(kept, t, nb, keys, path = Some(p))
-          spark.catalog.refreshByPath(p)
-        }
+        // filtered rewrite through the crash-safe staged swap
+        // (Bucketed.replaceWith): the kept set is written to a sibling
+        // path from the OLD files before anything is dropped
+        def retract(t: String, keys: Seq[String], p: String): Unit =
+          graft.sources.Bucketed.replaceWith(spark, t,
+            spark.table(t).join(tombstones, Seq("doc_id"), "left_anti"),
+            nb, keys, p)
         retract(docTable, Seq("doc_id"), docPath)
         retract(bandTable, Seq("bkey"), bandPath)
         // ---- the probe wave: exact copies of RETRACTED docs (must
@@ -2326,21 +2311,9 @@ object QueriesLlm {
           .unionByName(corpus.filter(col("doc_id") % 40 === 20)
             .withColumn("doc_id", col("doc_id") + 700000L))
         val wsig = signedDocs(wave).localCheckpoint(true) // bands + verify + anti
-        val cand = bandKeysOf(wsig).withColumnRenamed("doc_id", "w_id")
-          .join(spark.table(bandTable), "bkey") // index side exchange-free
-          .select(col("w_id"), col("doc_id").as("idx_id"))
-          .distinct()
-        val dup = cand
-          .join(spark.table(docTable).select(col("doc_id").as("idx_id"),
-            col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
-          .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
-            col("sz").as("sz_w")), "w_id")
-          .filter(sizeRatioOk(col("sz_w"), col("sz_i")))
-          .withColumn("inter",
-            call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
-          .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
-          .select(col("w_id").as("doc_id")).distinct()
-        val accepted = wsig.join(dup, Seq("doc_id"), "left_anti")
+        // shared acceptAgainstIndex: index side exchange-free, verify
+        // is the native sorted_inter_count (functions/MinhashPipeline)
+        val accepted = acceptAgainstIndex(wsig, docTable, bandTable)
         graft.sources.Bucketed.writeBucketed(
           accepted.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
             .withColumn("epoch", lit(1)),
@@ -2466,9 +2439,12 @@ object QueriesLlm {
     // fully parallel), cumulate ACROSS buckets (a window over <=
     // 256*n_lang rows), admit every bucket that fits entirely within
     // budget WITHOUT any per-doc sort; (2) sort only the single
-    // threshold bucket per language (~1/256 of one language's docs;
-    // recurse on more hash chars if even that is too big) to fill the
-    // remainder. Hash-identical output to the oracle's global sort —
+    // threshold bucket per language (~1/256 of one language's docs) to
+    // fill the remainder. The implemented straddle path is one level
+    // deep; recursing on further hash chars for a still-too-big bucket
+    // is a natural extension, NOT implemented here — at 1/256 per
+    // level one level covers any realistic per-language skew.
+    // Hash-identical output to the oracle's global sort —
     // the gate proves algorithm-level equivalence, not just row
     // parity. Map-only over the corpus except one tiny aggregate and
     // one 1/256-sized window.

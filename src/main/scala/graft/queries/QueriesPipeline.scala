@@ -509,7 +509,7 @@ object QueriesPipeline {
           .withColumn("frameshift",
             when(col("vid") % 11 === 0,
               when(fsc === "T", "F").otherwise("T")).otherwise(fsc))
-        val path = "/root/repo/tmp/filegate/fixup_variants"
+        val path = s"${QueriesSources.FixtureDir}/fixup_variants"
         stored0.write.mode("overwrite").parquet(path)
         val stored = spark.read.parquet(path)
         def report(name: String, d: org.apache.spark.sql.DataFrame,
@@ -617,7 +617,7 @@ object QueriesPipeline {
             coalesce(col("__na") +
               when(col("vid") % 17 === 0, 1).otherwise(0), lit(1)))
           .drop("__na")
-        val path = "/root/repo/tmp/filegate/fixup2_variants"
+        val path = s"${QueriesSources.FixtureDir}/fixup2_variants"
         stored0.write.mode("overwrite").parquet(path)
         val stored = spark.read.parquet(path)
         def report(name: String, d: org.apache.spark.sql.DataFrame,

@@ -19,7 +19,7 @@ import graft.sources.{Cf2, Fasta, Polyphen, Vcf}
 object QueriesSources {
 
   /** Fixture root (inside the repo; harness runs on one machine). */
-  val FixtureDir = "/root/repo/tmp/filegate"
+  val FixtureDir = s"${Fixtures.scratchRoot}/filegate"
 
   // ---------------------------------------------------------------- q78
   // S1/S2: VCF text reader (`VcfToCommonFormat2Converter.run:109-147`):

@@ -88,7 +88,7 @@ object QueriesStreaming {
     // the one shape that cannot survive continuous ingestion.
     Q("q91_stream_upsert",
       (spark, dir) => {
-        val root = "/root/repo/tmp/streamgate"
+        val root = s"${Fixtures.scratchRoot}/streamgate"
         val src = s"$root/src"
         val store = s"$root/store"
         val storeTable = "graft_q91_store"

@@ -39,9 +39,55 @@ object Bucketed {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Compact a bucketed table in place: rewrite it under a fresh
-    * bucket spec, collapsing the one-file-set-per-append accumulation
-    * back to one file set and (optionally) changing the bucket count.
+  /** Replace the contents of a path-backed bucketed table with `df`
+    * (which may — and normally does — read the table's CURRENT files)
+    * under a possibly-new bucket spec, staged crash-safely:
+    *
+    *  1. `df` is written as a staging table at a sibling path — this
+    *     reads the OLD file set and writes a NEW location, so there is
+    *     no read-own-files hazard and no point at which the data
+    *     exists only in executor memory (the r8 form localCheckpoint'd
+    *     the table between drop and rewrite — a crash there lost the
+    *     index permanently);
+    *  2. only once the staged file set is complete on disk are the old
+    *     catalog entries dropped, the old files deleted, and the
+    *     staged directory renamed into place (Hadoop FileSystem API,
+    *     so the same sequence works on HDFS/S3A);
+    *  3. the catalog entry is re-created over the renamed files with
+    *     the new bucket spec (bucket ids live in the file NAMES, which
+    *     the rename preserves).
+    *
+    * At every step the full table exists at the live path or the
+    * staging path; the only crash window is the catalog ENTRY between
+    * the DROP and the CREATE, which is rebuildable from either file
+    * set — and on a real metastore steps 2-3 collapse into one atomic
+    * rename swap so readers never observe the gap. */
+  def replaceWith(spark: org.apache.spark.sql.SparkSession, table: String,
+                  df: DataFrame, buckets: Int, keys: Seq[String],
+                  p: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stagingTable = s"${table}_staging"
+    val stagingPath = s"${p}_staging"
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    fs.delete(new Path(stagingPath), true)
+    val ddl = df.schema.toDDL
+    writeBucketed(df, stagingTable, buckets, keys, path = Some(stagingPath))
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE $stagingTable")
+    fs.delete(new Path(p), true)
+    require(fs.rename(new Path(stagingPath), new Path(p)),
+      s"rename $stagingPath -> $p failed; staged file set left intact")
+    val cols = keys.mkString(", ")
+    spark.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+      s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
+      s"LOCATION '$p'")
+    spark.catalog.refreshByPath(p)
+  }
+
+  /** Compact a bucketed table: rewrite it under a fresh bucket spec,
+    * collapsing the one-file-set-per-append accumulation back to one
+    * file set and (optionally) changing the bucket count.
     *
     * The maintenance job for append-grown index tables (q99/q109's
     * epoch commits, q91's streaming store): every `mode="append"`
@@ -53,22 +99,20 @@ object Bucketed {
     * every subsequent join on `keys` is exchange-free again —
     * identical rows, identical downstream plans. Run it at an epoch
     * barrier (q109) or between waves (q99/q91), where the table is
-    * frozen by construction; the swap is a catalog rename, not a
-    * read-blocking rewrite, on a real metastore.
-    *
-    * Implementation note: the table is snapshotted via localCheckpoint
-    * (cutting lineage to the source files) before the drop+rewrite, so
-    * the write never reads files it is replacing. On a production
-    * metastore the rewrite would stage under a sibling name and swap
-    * with a catalog rename so readers never observe the gap; the
-    * single-JVM gate form trades that for one write. */
+    * frozen by construction. Path-backed tables go through the
+    * crash-safe staged swap ([[replaceWith]]); the managed-table form
+    * (no `path`) keeps the r8 snapshot+rewrite and must only run where
+    * the whole table can be rebuilt from scratch — the data is held in
+    * executor-local checkpoint blocks between drop and rewrite. */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
               buckets: Int, keys: Seq[String],
-              path: Option[String] = None): Unit = {
-    val snapshot = spark.table(table).localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    writeBucketed(snapshot, table, buckets, keys, path = path)
-    path.foreach(spark.catalog.refreshByPath)
-    snapshot.unpersist()
+              path: Option[String] = None): Unit = path match {
+    case Some(p) =>
+      replaceWith(spark, table, spark.table(table), buckets, keys, p)
+    case None =>
+      val snapshot = spark.table(table).localCheckpoint(true)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      writeBucketed(snapshot, table, buckets, keys)
+      snapshot.unpersist()
   }
 }
