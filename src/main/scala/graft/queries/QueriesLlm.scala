@@ -2367,26 +2367,18 @@ object QueriesLlm {
     // same one-exchange shape (posexplode + groupBy(cid, dim)).
     Q("q113_kmeans_step",
       (spark, dir) => {
+        import graft.operators.IvfKmeans
         val K8 = 8
+        // quantization / seeding / argmin are the shared IvfKmeans
+        // expressions (offset 0 — a single step needs no positive-sum
+        // guarantee); q114 iterates the same definitions
         val q = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id"),
-            transform(col("embedding"),
-              x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
-        // K seed centroids -> ONE deterministic array-of-structs row
-        // (sort_array fixes collect_list's arrival order)
-        val cents = q.filter(col("vec_id") < K8)
-          .select(struct(col("vec_id").as("cid"), col("qv").as("cqv")).as("c"))
-          .agg(sort_array(collect_list(col("c"))).as("cents"))
+          .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), 0L).as("qv"))
+        val cents = IvfKmeans.seedCents(q, K8)
         val best = q.crossJoin(cents) // 1-row side -> broadcast
           .select(col("vec_id"),
             aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"),
-            array_min(transform(col("cents"), c =>
-              struct(
-                aggregate(
-                  zip_with(col("qv"), c.getField("cqv"),
-                    (a, b) => (a - b) * (a - b)),
-                  lit(0L), (a, x) => a + x).as("dist"),
-                c.getField("cid").as("cid")))).as("best"))
+            IvfKmeans.bestCentroid(col("qv"), col("cents")).as("best"))
         best.groupBy(col("best.cid").as("cid"))
           .agg(count(lit(1)).as("n_members"),
             sum(col("vec_id")).as("sum_vid"),
@@ -2500,6 +2492,177 @@ object QueriesLlm {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_id
           |FROM c
           |WHERE cum < CASE WHEN lang = 'en' THEN 8000 ELSE 5000 END
-          |GROUP BY lang ORDER BY lang""".stripMargin))
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- IVF LIFECYCLE, composed: train -> index -> search in ONE
+    // gated query — the pipeline a real user runs, where q113 gates
+    // the single Lloyd step and q53 gates search against static
+    // seeds. Three Lloyd iterations (operators/IvfKmeans: quantize,
+    // assign, truncating-mean update — every step integer-exact) TRAIN
+    // the centroids; the full corpus is then assigned to the TRAINED
+    // cells; probes (vec_id%17) search only their own cell, top-5 by
+    // integer L2. The oracle replays all three iterations, the final
+    // assignment, and the search in SQL — a drift anywhere in the
+    // train->consume composition (a centroid off by one fixed-point
+    // unit, a tie broken differently) shifts cells and fails the hash.
+    // 100 TB: per iteration, centroids broadcast as one K*dim row and
+    // assignment is map-side; the update's exploded (cid,dim) rollup
+    // collapses to <=K*dim rows per task before its exchange; the
+    // search shuffles by cell only (candidates drop ~K-fold vs the
+    // q44 scan). The plan is gated in PlanAssertionsSpec: no exchange
+    // keyed by anything but cell/qid.
+    Q("q114_ivf_lifecycle",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val KC = 8; val Iters = 3; val Off = 4000L
+        val q = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+        val cents = IvfKmeans.train(q, KC, Iters)
+        // one assignment pass against the trained centroids builds the
+        // index; materialized once — it feeds both sides of the search
+        val assigned = IvfKmeans.assign(q, cents)
+          .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+          .localCheckpoint(true)
+        val probes = assigned.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("qv").as("pqv"), col("cell"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        probes.join(assigned, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+          .withColumn("dist", IvfKmeans.distL2(col("pqv"), col("qv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("vec_id"), col("dist"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |${IvfKmeans.assignCte(3, Dim)},
+           |cand AS (
+           |  SELECT p.vec_id AS qid, a.vec_id,
+           |    ${IvfKmeans.distSql("p.qv", "a.qv", Dim)} AS dist
+           |  FROM afin p JOIN afin a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+           |  WHERE p.vec_id % 17 = 0)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, CAST(dist AS BIGINT) AS dist
+           |FROM (SELECT qid, vec_id, dist,
+           |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           |      FROM cand)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // -- ANN RECALL GATE: the search-quality number the approximate
+    // family was missing. For one query set (vec_id%50 — q44/q45's),
+    // four top-5 result sets are computed over the SAME similarity
+    // (quantized cosine, ties by vec_id): EXACT (full scan — the q44
+    // ground truth), LSH (q45's hyperplane buckets), MULTI-PROBE LSH
+    // (also searching the 8 buckets at Hamming distance 1 — the
+    // standard recall recovery when single-table LSH over-partitions:
+    // at these corpus sizes 256 buckets over 500-2000 vectors leaves
+    // ~2-8 candidates per bucket and single-bucket recall measures
+    // ~0, which is exactly the kind of fact a recall gate exists to
+    // expose), and trained-IVF (q114's k-means cells, searched by
+    // cosine — cells trained by integer L2, the standard IVF split of
+    // train-metric vs search-metric). The gate hashes per-query
+    // INTEGER hit counts |approx ∩ exact|: recall@5 numerators,
+    // deterministic on both engines because every ordering key is an
+    // integer. A change that silently degrades retrieval (a bucket
+    // function regression, a training drift collapsing cells) shifts
+    // hit counts and fails the gate — "similarity search at 100 TB"
+    // now has a measured, gated quality number, not just mechanism
+    // correctness. Scale: exact is the one O(q*n) pass (kept small by
+    // the probe stride — at 100 TB you'd sample probes the same way);
+    // LSH/IVF joins shuffle by bucket/cell only; multi-probe costs a
+    // 9x probe-side explode, never a corpus-side one.
+    Q("q115_ann_recall",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val Off = 4000L
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("bucket", VF.lshBucket(col("v"), Planes, Dim))
+        val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
+        val cells = IvfKmeans.assign(e.select(col("vec_id"), col("qv")), cents)
+          .select(col("vec_id"), col("cid").as("cell"))
+        // one row per vector with every retrieval key; materialized —
+        // it feeds the probe side and all three candidate joins
+        val base = e.join(cells, "vec_id")
+          .select("vec_id", "v", "nrm", "bucket", "cell")
+          .localCheckpoint(true)
+        val probes = base.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("pv"),
+            col("nrm").as("pnrm"), col("bucket").as("pbucket"),
+            col("cell").as("pcell"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        def top5(p: org.apache.spark.sql.DataFrame, cond: org.apache.spark.sql.Column) =
+          p.join(base, cond && col("vec_id") =!= col("qid"))
+            .withColumn("sim",
+              VF.quantize1e6(VF.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select(col("qid"), col("vec_id"))
+        // multi-probe LSH: also search every bucket at Hamming
+        // distance 1 from the query's (flip each of the 8 plane bits).
+        // Each corpus vector lives in exactly ONE bucket, so the 9
+        // probed buckets yield disjoint candidates — no dedup needed.
+        val mprobes = probes.select(col("qid"), col("pv"), col("pnrm"),
+          explode(array(col("pbucket") +: (0 until Planes).map(j =>
+            col("pbucket").bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+        val exact = top5(probes, lit(true)).localCheckpoint(true) // joined 3x below
+        val lsh = top5(probes, col("bucket") === col("pbucket"))
+        val mlsh = top5(mprobes, col("bucket") === col("pbucket"))
+        val ivf = top5(probes, col("cell") === col("pcell"))
+        exact
+          .join(lsh.withColumn("l", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .join(mlsh.withColumn("m", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .join(ivf.withColumn("i", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("l"), lit(0))).cast("long").as("lsh_hits"),
+            sum(coalesce(col("m"), lit(0))).cast("long").as("mlsh_hits"),
+            sum(coalesce(col("i"), lit(0))).cast("long").as("ivf_hits"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        def top5Sql(name: String, cond: String) =
+          s"""${name}s AS (
+             |  SELECT p.qid, eb.vec_id,
+             |    CAST(floor((${cosSql("p.pv", "eb.v")}) * 1e6) AS BIGINT) AS sim
+             |  FROM ps p JOIN eb ON eb.vec_id <> p.qid$cond),
+             |$name AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |    FROM ${name}s)
+             |  WHERE rn <= 5)""".stripMargin
+        val flips = (0 until Planes).map(j => s"xor(pbucket, ${1L << j})")
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |${IvfKmeans.assignCte(3, Dim)},
+           |$embCte,
+           |eb AS (
+           |  SELECT e.vec_id, e.v, ${bucketSql("e.v")} AS bucket, a.cell
+           |  FROM e JOIN afin a USING (vec_id)),
+           |ps AS (SELECT vec_id AS qid, v AS pv, bucket AS pbucket, cell AS pcell
+           |       FROM eb WHERE vec_id % 50 = 0),
+           |mp AS (
+           |  SELECT qid, pv,
+           |    unnest([CAST(pbucket AS BIGINT), ${flips.mkString(", ")}]) AS pbucket
+           |  FROM ps),
+           |${top5Sql("ex", "")},
+           |${top5Sql("ls", " AND eb.bucket = p.pbucket")},
+           |${top5Sql("iv", " AND eb.cell = p.pcell")},
+           |${top5Sql("ml", " AND eb.bucket = p.pbucket").replace("FROM ps p", "FROM mp p")}
+           |SELECT ex.qid, count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN ls.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+           |  CAST(sum(CASE WHEN ml.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mlsh_hits,
+           |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+           |FROM ex
+           |LEFT JOIN ls ON ls.qid = ex.qid AND ls.vec_id = ex.vec_id
+           |LEFT JOIN ml ON ml.qid = ex.qid AND ml.vec_id = ex.vec_id
+           |LEFT JOIN iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+           |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+      })
   )
 }

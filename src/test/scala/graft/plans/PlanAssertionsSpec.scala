@@ -84,6 +84,29 @@ class PlanAssertionsSpec extends SparkSpec {
       s"per-vector data must not hash-exchange (found: $vectorKeyed)\n" + p)
   }
 
+  test("q114: trained-cell search shuffles by cell/qid only — no cartesian, no per-vector re-key") {
+    // training is materialized behind localCheckpoints, so this is the
+    // SEARCH plan: probe/corpus join on the trained cell, then the
+    // per-query top-k window. Force the large-side shape (at sf0.001
+    // Spark would broadcast the probe side and mask it).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q114_ivf_lifecycle")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "cell join must be a shuffled equi-join\n" + p)
+      // property, not a count: candidates co-locate by cell and then
+      // by query for the window — nothing may re-key the corpus by
+      // any other column
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1))
+        .filterNot(k => k.contains("cell") || k.contains("qid")).toList
+      assert(badKeys.isEmpty,
+        s"only cell/qid may key a hash exchange (found: $badKeys)\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q53: IVF search joins on cell only; top-k is rank-limited before the full sort") {
     val p = plan("q53_knn_ivf")
     assert(p.contains("WindowGroupLimit"), "rn <= k should push below the window sort\n" + p)
