@@ -2663,6 +2663,88 @@ object QueriesLlm {
            |LEFT JOIN ml ON ml.qid = ex.qid AND ml.vec_id = ex.vec_id
            |LEFT JOIN iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
-      })
+      }),
+
+    // -- REAL CONTAINER DECODE under oracle check: deterministic
+    // binary-PPM (P6) blobs are assembled per document (ASCII header
+    // with per-doc width/height + the doc's first w*h*3 text bytes as
+    // the pixel payload), every 5th blob gets a TRUNCATED header, and
+    // the whole set runs through the magic-dispatching decoder
+    // (operators/Multimodal.decodePpm): well-formed blobs parse as
+    // real PPM — per-SCANLINE frames measured from the parsed data
+    // offset — while the malformed ones take the documented stub
+    // fallback, so both dispatch arms are inside the gate. The oracle
+    // rebuilds the same byte streams in SQL and replays both frame
+    // geometries via ascii arithmetic (the payload offset is
+    // len(content)-w*h*3, exactly the parsed header length). The
+    // q51/q58 plumbing claims (binary columns, mapPartitions, no
+    // driver) now carry an actual byte-format parse, not only stub
+    // geometry. 100 TB: identical shape to q51 — decode is
+    // partition-local, only feature rows shuffle.
+    Q("q116_multimodal_decode",
+      (spark, dir) => {
+        implicit val s = spark
+        import spark.implicits._
+        val d = table(spark, dir, "documents")
+          .withColumn("w", (col("doc_id") % 3 + 2).cast("int"))
+          .withColumn("h", (col("doc_id") % 2 + 2).cast("int"))
+          .filter(length(col("text")) >= col("w") * col("h") * 3)
+        val media = d.select(
+          col("doc_id").as("media_id"), col("source"),
+          lit("image/x-portable-pixmap").as("media_type"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("P6\n"), col("w").cast("string"), lit(" ")))
+            .otherwise(concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+              col("h").cast("string"), lit("\n255\n"),
+              expr("substring(text, 1, w * h * 3)")))
+            .cast("binary").as("content"))
+          .as[graft.operators.Multimodal.MediaRow]
+        graft.operators.Multimodal
+          .sampleFrameFeatures(media, frameLen = 16, stride = 1)
+          .toDF()
+          .groupBy(col("source"), col("format"))
+          .agg(count(lit(1)).as("frames"),
+            sum(col("byte_sum")).as("sum_bytes"),
+            sum(col("byte_min").cast("long")).as("sum_min"),
+            sum(col("byte_max").cast("long")).as("sum_max"))
+          .orderBy(col("source"), col("format"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, source, text,
+          |    CAST(doc_id % 3 + 2 AS INT) AS w, CAST(doc_id % 2 + 2 AS INT) AS h
+          |  FROM documents
+          |  WHERE len(text) >= (doc_id % 3 + 2) * (doc_id % 2 + 2) * 3),
+          |m AS (
+          |  SELECT doc_id, source, w, h,
+          |    CASE WHEN doc_id % 5 = 0
+          |      THEN 'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+          |      ELSE 'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+          |           || chr(10) || '255' || chr(10) || substr(text, 1, w * h * 3)
+          |    END AS content,
+          |    CASE WHEN doc_id % 5 = 0 THEN 'raw' ELSE 'ppm' END AS format
+          |  FROM d),
+          |fr AS (
+          |  SELECT m.doc_id, m.source, m.format, fi,
+          |    substr(m.content,
+          |      CAST(len(m.content) - m.w * m.h * 3 + fi * m.w * 3 + 1 AS INT),
+          |      m.w * 3) AS fb
+          |  FROM m, LATERAL (SELECT unnest(generate_series(0, CAST(m.h - 1 AS BIGINT))) AS fi)
+          |  WHERE m.format = 'ppm'
+          |  UNION ALL
+          |  SELECT m.doc_id, m.source, m.format, fi,
+          |    substr(m.content, CAST(fi * 16 + 1 AS INT), 16)
+          |  FROM m, LATERAL (SELECT unnest(generate_series(0,
+          |    CAST((len(m.content) + 15) // 16 - 1 AS BIGINT))) AS fi)
+          |  WHERE m.format = 'raw'),
+          |fc AS (
+          |  SELECT source, format,
+          |    list_transform(string_split_regex(fb, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
+          |  FROM fr)
+          |SELECT source, format, count(*) AS frames,
+          |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> a + x)) AS BIGINT) AS sum_bytes,
+          |  CAST(sum(list_min(bytes)) AS BIGINT) AS sum_min,
+          |  CAST(sum(list_max(bytes)) AS BIGINT) AS sum_max
+          |FROM fc GROUP BY source, format ORDER BY source, format""".stripMargin))
   )
 }
