@@ -3,11 +3,36 @@
 runs each oracle SQL in DuckDB against the same parquet tables and
 compares with the Verify output, approximating the driver's
 row/schema/hash match (columns sorted by name, rows sorted)."""
-import duckdb, json, sys, os
+import duckdb, hashlib, json, sys, os
 import pandas as pd
 
 TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']
+
+
+def run_oracle(con, sf, sql):
+    """Execute oracle SQL, with an optional result cache keyed by
+    (sf_dir, sql-text) under $GRAFT_ORACLE_CACHE. Two uses: (1) queries
+    sharing one oracle verbatim (q109/q110's epoch-dedup CTE chain,
+    ~300 s wall each at sf1) pay DuckDB once per sweep; (2) an
+    expensive oracle can be PRIMED into the cache by a budget-free
+    background run, turning a sweep-timeout skip into a real checked
+    row. The cache dir is per sweep invocation — results must never
+    outlive the Verify dump they correspond to (the file-format gates'
+    fixtures are rewritten per dump)."""
+    cache_dir = os.environ.get('GRAFT_ORACLE_CACHE')
+    if not cache_dir:
+        return con.sql(sql).df()
+    os.makedirs(cache_dir, exist_ok=True)
+    key = hashlib.sha256((sf + '\0' + sql).encode()).hexdigest()[:24]
+    cpath = f'{cache_dir}/{key}.parquet'
+    if os.path.exists(cpath):
+        return pd.read_parquet(cpath)
+    duck = con.sql(sql).df()
+    tmp = f'{cpath}.tmp{os.getpid()}'
+    duck.to_parquet(tmp)
+    os.replace(tmp, cpath)  # atomic: a killed run never leaves a torn cache
+    return duck
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
@@ -23,7 +48,7 @@ def main():
             continue
         sql = oracle[name]
         try:
-            duck = con.sql(sql).df()
+            duck = run_oracle(con, sf, sql)
         except Exception as e:
             print(f'{name}: ORACLE-ERROR {e}')
             n_fail += 1

@@ -22,6 +22,7 @@ against an sf0.01-sized fixture clobbered by a concurrent sf0.01 run;
 it passes when re-dumped and checked in order).
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -60,6 +61,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     per_query_timeout = sys.argv[3] if len(sys.argv) > 3 else "150"
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")).keys())
+    # per-dump oracle-result cache (see check.py run_oracle): queries
+    # sharing one oracle verbatim pay DuckDB once, and a background
+    # priming run can pre-stage an expensive oracle's expected table
+    # so it sweeps as a real checked row instead of a timeout skip
+    env = dict(os.environ,
+               GRAFT_ORACLE_CACHE=f"{out_dir}/oracle_cache")
     ok, fail, timed_out = [], [], []
     for n in names:
         if n in QUADRATIC:
@@ -68,7 +75,7 @@ def main():
         r = subprocess.run(
             ["timeout", budget, "python3", "-u", "tools/check.py",
              sf_dir, out_dir, n],
-            capture_output=True, text=True)
+            capture_output=True, text=True, env=env)
         lines = r.stdout.strip().splitlines()
         tail = lines[-1] if lines else ""
         if r.returncode == 124:
