@@ -14,7 +14,8 @@ object Plans {
         "q44_knn_bruteforce", "q43_dedup_ngram_jaccard", "q53_knn_ivf",
         "q40_dedup_exact", "q41_dedup_minhash_lsh", "q63_dedup_upsert",
         "q82_postprocess_fasta", "q84_pipeline_chain",
-        "q108_dedup_minhash_word", "q111_data_mixture", "q113_kmeans_step")
+        "q108_dedup_minhash_word", "q111_data_mixture", "q113_kmeans_step",
+        "q114_ivf_lifecycle", "q115_ann_recall", "q116_multimodal_decode")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
