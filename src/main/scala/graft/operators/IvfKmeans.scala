@@ -93,6 +93,31 @@ object IvfKmeans {
         transform(col("ds"), d => d.getField("cd")).as("cqv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cents"))
 
+  /** Per-row ranked nearest cells against a 1-row `cents` frame: each
+    * input row explodes to its `maxProbe` nearest trained cells with a
+    * 1-based `crank` (lexicographic (dist, cid) tie-break, same as
+    * [[bestCentroid]] — crank=1 IS the assignment cell). All input
+    * columns pass through. Two consumers, one definition:
+    *  - nprobe SEARCH (q117): probes fan out to their p nearest cells
+    *    — the probe side multiplies by p, never the corpus side;
+    *  - SPILL ASSIGNMENT (q118): the corpus itself indexes into its 2
+    *    nearest cells, so boundary pairs split across neighboring
+    *    cells still collide — index inflation bounded at exactly 2x.
+    * Map-side: the cents row broadcasts; the explode is per-row. */
+  def rankCells(rows: DataFrame, qvCol: String, cents: DataFrame,
+                maxProbe: Int): DataFrame = {
+    val passthru = rows.columns.map(col).toSeq
+    rows.crossJoin(cents)
+      .select(passthru :+
+        posexplode(slice(sort_array(transform(col("cents"), c =>
+          struct(distL2(col(qvCol), c.getField("cqv")).as("dist"),
+            c.getField("cid").as("cid")))), 1, maxProbe))
+          .as(Seq("cr", "cellrec")): _*)
+      .select(passthru :+
+        (col("cr") + 1).cast("int").as("crank") :+
+        col("cellrec.cid").as("cell"): _*)
+  }
+
   /** `iters` Lloyd iterations from the id-seeded centroids. Each
     * iteration's K-row centroid frame is materialized
     * (localCheckpoint) — K·dim longs, and without it iteration t's

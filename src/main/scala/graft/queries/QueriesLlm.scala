@@ -2745,6 +2745,174 @@ object QueriesLlm {
           |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> a + x)) AS BIGINT) AS sum_bytes,
           |  CAST(sum(list_min(bytes)) AS BIGINT) AS sum_min,
           |  CAST(sum(list_max(bytes)) AS BIGINT) AS sum_max
-          |FROM fc GROUP BY source, format ORDER BY source, format""".stripMargin))
+          |FROM fc GROUP BY source, format ORDER BY source, format""".stripMargin)),
+
+    // -- IVF nprobe LADDER: the recall/cost knob q115 measures for LSH
+    // (multi-probe) applied to IVF — a query searches its nearest 1, 2,
+    // or 4 cells by centroid distance, and the gate hashes per-query
+    // INTEGER hit counts |IVF@p ∩ exact| for all three probe widths
+    // against the brute-force integer-L2 top-5. Candidate sets nest
+    // (the p=2 cells contain the p=1 cell), so hits are monotone in p —
+    // IvfNprobeSpec pins that property on an adversarial frame; the
+    // hash gate pins the actual values. All arithmetic is quantized
+    // integer L2 (IvfKmeans), so both engines agree bit-for-bit on
+    // training, cell ranking, and search ordering. 100 TB: nprobe
+    // multiplies the PROBE side by p (explode to p cells), never the
+    // corpus side — each corpus vector still lives in exactly one cell,
+    // so the p-level candidate sets are disjoint unions of cells and
+    // the search join still shuffles by cell only; exact ground truth
+    // is the one O(q·n) pass, bounded by the probe stride exactly as
+    // in q115.
+    Q("q117_ivf_nprobe",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val KC = 8; val Iters = 3; val Off = 4000L; val MaxProbe = 4
+        val q = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+        val cents = IvfKmeans.train(q, KC, Iters)
+        val assigned = IvfKmeans.assign(q, cents)
+          .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+          .localCheckpoint(true)
+        val probes = assigned.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("qv").as("pqv"))
+        // per-probe cell ranking (IvfKmeans.rankCells): all K centroid
+        // distances ride in the 1-row broadcast; the (dist, cid)
+        // tie-break is exactly what the oracle replays
+        val ranked = IvfKmeans.rankCells(probes, "pqv", cents, MaxProbe)
+        // ONE candidate join at the widest probe level; narrower levels
+        // are filters over it (cells are disjoint per probe, so no
+        // dedup). Materialized — it feeds three windows + the exact set
+        val cand = ranked.join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("dist", IvfKmeans.distL2(col("pqv"), col("qv")))
+          .select(col("qid"), col("vec_id"), col("dist"), col("crank"))
+          .localCheckpoint(true)
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        def top5At(p: Int) = cand.filter(col("crank") <= p)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val exact = probes.join(assigned, col("vec_id") =!= col("qid"))
+          .withColumn("dist", IvfKmeans.distL2(col("pqv"), col("qv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        exact
+          .join(top5At(1).withColumn("h1", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .join(top5At(2).withColumn("h2", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .join(top5At(4).withColumn("h4", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("h1"), lit(0))).cast("long").as("p1_hits"),
+            sum(coalesce(col("h2"), lit(0))).cast("long").as("p2_hits"),
+            sum(coalesce(col("h4"), lit(0))).cast("long").as("p4_hits"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        def topAt(name: String, cond: String) =
+          s"""$name AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |    FROM cand WHERE $cond)
+             |  WHERE rn <= 5)""".stripMargin
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |${IvfKmeans.assignCte(3, Dim)},
+           |ps AS (SELECT vec_id AS qid, qv AS pqv FROM afin WHERE vec_id % 17 = 0),
+           |pc AS (
+           |  SELECT qid, pqv, cid AS cell, crank FROM (
+           |    SELECT p.qid, p.pqv, c.cid,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY ${IvfKmeans.distSql("p.pqv", "c.cqv", Dim)}, c.cid) AS crank
+           |    FROM ps p, c3 c)
+           |  WHERE crank <= 4),
+           |cand AS (
+           |  SELECT pc.qid, a.vec_id,
+           |    ${IvfKmeans.distSql("pc.pqv", "a.qv", Dim)} AS dist, pc.crank
+           |  FROM pc JOIN afin a ON a.cell = pc.cell AND a.vec_id <> pc.qid),
+           |exd AS (
+           |  SELECT p.qid, a.vec_id,
+           |    ${IvfKmeans.distSql("p.pqv", "a.qv", Dim)} AS dist
+           |  FROM ps p JOIN afin a ON a.vec_id <> p.qid),
+           |ex AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           |    FROM exd)
+           |  WHERE rn <= 5),
+           |${topAt("t1", "crank <= 1")},
+           |${topAt("t2", "crank <= 2")},
+           |${topAt("t4", "crank <= 4")}
+           |SELECT ex.qid, count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN t1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p1_hits,
+           |  CAST(sum(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p2_hits,
+           |  CAST(sum(CASE WHEN t4.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p4_hits
+           |FROM ex
+           |LEFT JOIN t1 ON t1.qid = ex.qid AND t1.vec_id = ex.vec_id
+           |LEFT JOIN t2 ON t2.qid = ex.qid AND t2.vec_id = ex.vec_id
+           |LEFT JOIN t4 ON t4.qid = ex.qid AND t4.vec_id = ex.vec_id
+           |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+      }),
+
+    // -- SEMANTIC DEDUP, the SCALE PATH for q46: q46 is the exact
+    // all-pairs cosine near-dup baseline (O(n²), corpus broadcast —
+    // honest but unshippable at 100 TB). Here the candidate set is
+    // BLOCKED by the trained IVF index with SPILL ASSIGNMENT: every
+    // vector indexes into its 2 nearest cells (the standard recall
+    // recovery for boundary pairs — a pair split across neighboring
+    // cells still collides in the spill cell), candidates are same-cell
+    // pairs, and only candidates pay the exact cosine verify at q46's
+    // threshold. The oracle replays training, spill assignment,
+    // blocking, and verify in SQL, so the gate proves the BLOCKED
+    // pipeline end to end — and because blocking is an approximation,
+    // the artifacts record its pair recall vs q46's exact set rather
+    // than pretending equivalence. 100 TB: no corpus broadcast
+    // anywhere — centroids ride as one K·dim row; the candidate join
+    // shuffles by cell only; spill bounds index inflation at exactly
+    // 2×; candidate pairs drop ~(K/4)-fold vs all-pairs (measured at
+    // sf0.1 in artifacts/). DISTINCT collapses the ≤2 copies of pairs
+    // sharing both cells.
+    Q("q118_semantic_dedup_ivf",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val Off = 4000L
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
+        // spill assignment (IvfKmeans.rankCells): each vector -> its 2
+        // nearest trained cells
+        val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+          .filter(col("sim_x1e6") >= 400000L)
+          .select(col("vec_a"), col("vec_b"), col("sim_x1e6"))
+          .distinct()
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |$embCte,
+           |sp AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${IvfKmeans.distSql("q.qv", "c.cqv", Dim)}, c.cid) AS crank
+           |    FROM q, c3 c)
+           |  WHERE crank <= 2),
+           |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id))
+           |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |WHERE CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) >= 400000
+           |ORDER BY vec_a, vec_b""".stripMargin
+      })
   )
 }
