@@ -2881,9 +2881,13 @@ object QueriesLlm {
           .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
         // spill assignment (IvfKmeans.rankCells): each vector -> its 2
-        // nearest trained cells
+        // nearest trained cells. Materialized once — it IS the index
+        // (at scale: a bucketed table), and it feeds both sides of the
+        // candidate self-join, which would otherwise replay the
+        // centroid ranking twice
         val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
           .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+          .localCheckpoint(true)
         val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
           col("v").as("va"), col("nrm").as("na"))
         val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),

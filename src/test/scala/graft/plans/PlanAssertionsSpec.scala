@@ -16,6 +16,39 @@ class PlanAssertionsSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q117/q118: nprobe search and spill-blocked dedup shuffle by cell only — no corpus broadcast") {
+    // same discipline as q114: the trained index is materialized
+    // behind localCheckpoints, so these are the SEARCH/BLOCKING plans.
+    // Force the large-side shape (tiny sf would broadcast and mask it).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("q117_ivf_nprobe", "q118_semantic_dedup_ivf")) {
+        val p = plan(name)
+        // q117 keeps ONE deliberate all-pairs leg: the exact ground
+        // truth the recall numerators compare against (at scale it
+        // broadcasts the stride-sampled probe set; with broadcast
+        // forced off it degenerates to a cartesian, which is the
+        // point of measuring it). q118 — the production dedup path —
+        // must have none.
+        val allPairsLegs = "CartesianProduct|BroadcastNestedLoopJoin".r
+          .findAllIn(p).size
+        assert(allPairsLegs <= (if (name.startsWith("q117")) 1 else 0),
+          s"$name: unexpected all-pairs join\n" + p)
+        // property, not a count: the corpus may be re-keyed only by
+        // the blocking cell, the probe id (q117's hit joins + window),
+        // or the verified pair itself (q118's DISTINCT)
+        val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+          .findAllMatchIn(p).map(_.group(1))
+          .filterNot(k => k.contains("cell") || k.contains("qid") ||
+            (k.contains("vec_a") && k.contains("vec_b")) ||
+            (k.contains("qid") && k.contains("vec_id"))).toList
+        assert(badKeys.isEmpty,
+          s"$name: only cell/qid/pair may key a hash exchange (found: $badKeys)\n" + p)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01: filter pushed to the parquet scan, columns pruned") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
