@@ -15,7 +15,8 @@ object Plans {
         "q40_dedup_exact", "q41_dedup_minhash_lsh", "q63_dedup_upsert",
         "q82_postprocess_fasta", "q84_pipeline_chain",
         "q108_dedup_minhash_word", "q111_data_mixture", "q113_kmeans_step",
-        "q114_ivf_lifecycle", "q115_ann_recall", "q116_multimodal_decode")
+        "q114_ivf_lifecycle", "q115_ann_recall", "q116_multimodal_decode",
+        "q117_ivf_nprobe", "q118_semantic_dedup_ivf")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
