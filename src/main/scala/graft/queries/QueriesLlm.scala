@@ -2917,6 +2917,78 @@ object QueriesLlm {
            |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
            |WHERE CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) >= 400000
            |ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
+    // -- COMPOSED SEMANTIC-DEDUP PIPELINE: the q88 shape (candidate →
+    // verify → components → canonical) rebuilt on the EMBEDDING family
+    // — train IVF cells, spill-block candidates (q118), verify by
+    // exact cosine, cluster the surviving pairs (q52's pointer-jumping
+    // components), and roll up per-cluster canonicals. The oracle
+    // replays training + spill + blocking + verify and then takes the
+    // transitive closure of the SAME blocked edge set with a recursive
+    // CTE — the components must agree however they're computed, so a
+    // drift anywhere in the four stages (a centroid, a spilled cell, a
+    // verified pair, a mis-merged cluster) fails the hash. 100 TB:
+    // every stage is the gated scale shape it came from — no corpus
+    // broadcast, candidate join keyed by cell, components O(diameter)
+    // rounds with a 1-scalar driver convergence check; the cluster
+    // rollup shuffles cluster-count rows only.
+    Q("q119_semantic_dedup_pipeline",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val Off = 4000L
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
+        val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+          .localCheckpoint(true)
+        val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+          .filter(col("sim_x1e6") >= 400000L)
+          .select(col("vec_a"), col("vec_b")).distinct()
+        graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("sum_canonical"))
+          .orderBy(col("cluster_size"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH RECURSIVE ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |$embCte,
+           |sp AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT q.vec_id, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${IvfKmeans.distSql("q.qv", "c.cqv", Dim)}, c.cid) AS crank
+           |    FROM q, c3 c)
+           |  WHERE crank <= 2),
+           |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id)),
+           |pairs AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) >= 400000),
+           |edges AS (
+           |  SELECT vec_a AS x, vec_b AS y FROM pairs
+           |  UNION SELECT vec_b, vec_a FROM pairs),
+           |reach(x, y) AS (
+           |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+           |  UNION
+           |  SELECT r.x, g.y FROM reach r JOIN edges g ON r.y = g.x),
+           |comp AS (SELECT x AS node, min(y) AS comp FROM reach GROUP BY x),
+           |cl AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+           |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+           |  CAST(sum(comp) AS BIGINT) AS sum_canonical
+           |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
       })
   )
 }

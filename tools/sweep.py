@@ -37,6 +37,11 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     # sweep timeout at sf1. Validated at sf0.01 AND on the
     # realistic-vocabulary twin tmp/sf0.1rich instead.
     "q108_dedup_minhash_word",
+    # q118/q119's oracles evaluate the 64-dim cosine inline over every
+    # same-cell candidate pair; gen_sf's 10 exact copies per vector
+    # make that ~100M list-comprehension evals at sf1 — engine side
+    # completes (see artifacts/), the SQL replay doesn't.
+    "q118_semantic_dedup_ivf", "q119_semantic_dedup_pipeline",
 }
 
 # Oracles that are correct but expensive in DuckDB at sf1 — they get a
