@@ -48,10 +48,13 @@ object IvfKmeans {
   def quantize(embedding: Column, offset: Long): Column =
     transform(embedding, x => floor(x.cast("double") * 1000).cast("long") + offset)
 
-  /** Integer squared-L2 distance between two quantized vectors. */
+  /** Integer squared-L2 distance between two quantized vectors — the
+    * native codegen expression ([[graft.functions.ArrayL2Sq]], one
+    * fused long loop in whole-stage codegen). Integer arithmetic has
+    * no accumulation-order sensitivity, so this is bit-identical to
+    * the HOF fold it replaced and to [[distSql]]'s DuckDB mirror. */
   def distL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    call_function("array_l2sq", a, b)
 
   /** Per-vector argmin over a 1-row centroid array: the lexicographic
     * `array_min` over `struct(dist, cid)` is exactly the

@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule)
     ext.injectFunction(graft.functions.BitmapIntersectCount.functionDescription)
     ext.injectFunction(graft.functions.ArrayDotProduct.functionDescription)
+    ext.injectFunction(graft.functions.ArrayL2Sq.functionDescription)
     ext.injectFunction(graft.functions.MinhashSignature.functionDescription)
     ext.injectFunction(graft.functions.SortedIntersectCount.functionDescription)
     ext.injectFunction(graft.functions.ShingleHashes.functionDescription)
