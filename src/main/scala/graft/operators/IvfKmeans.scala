@@ -145,14 +145,18 @@ object IvfKmeans {
   /** CTE chain replaying quantization + seeding + `iters` Lloyd
     * iterations: emits `q` (vec_id, qv), `c0`..`c$iters` centroid
     * tables (cid, cqv). The truncating `//` mean matches the engine's
-    * `DIV` because every coordinate is offset-positive. */
-  def lloydCtes(k: Int, iters: Int, dim: Int, offset: Long): String = {
+    * `DIV` because every coordinate is offset-positive. `where`
+    * restricts the TRAINING corpus (e.g. a seed-index subset, q120);
+    * the default empty string leaves the emitted SQL byte-identical
+    * to the unrestricted form every existing gate hashes against. */
+  def lloydCtes(k: Int, iters: Int, dim: Int, offset: Long,
+                where: String = ""): String = {
     val head =
       s"""q AS (
          |  SELECT vec_id,
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + $offset) AS qv
-         |  FROM embeddings),
+         |  FROM embeddings$where),
          |c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (

@@ -2989,6 +2989,152 @@ object QueriesLlm {
            |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, count(*) AS n_clusters,
            |  CAST(sum(comp) AS BIGINT) AS sum_canonical
            |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // -- INCREMENTAL SEMANTIC DEDUP vs a PERSISTENT CELL INDEX: the
+    // q99 shape (seed index on disk, epoch-committed ingest waves,
+    // accept = no near-dup already indexed) rebuilt on the embedding
+    // family — the minhash index lifecycle (build q99 / stream q109 /
+    // compact q110 / retract q112) gains its semantic sibling. The
+    // index stores each vector in its 2 nearest TRAINED cells (q118's
+    // spill, so boundary dups still collide), bucketed on `cell` so
+    // every wave's candidate join enters exchange-free on the store
+    // side; centroids are trained ONCE on the seed corpus and FROZEN
+    // (the production pattern: waves assign to frozen cells, retrain
+    // is a scheduled maintenance job like q110's compaction). Wave 1
+    // carries exact copies of indexed vectors (must reject) + novel
+    // vectors (accept unless a semantic near-dup ≥ 0.4 cosine is
+    // already indexed); wave 2 carries copies of wave-1 novelties —
+    // rejected ONLY if epoch 1 actually committed, so the gate proves
+    // commit visibility. An in-gate replay of wave 1 after its commit
+    // must accept exactly 0 (every acceptance now self-matches its own
+    // index entry). The oracle replays training, spill indexing, and
+    // both sequential waves in SQL; the rollup hashes per-epoch
+    // committed (n_vecs, sum_id). 100 TB: waves shuffle only
+    // themselves (probe side), the index never re-shuffles; spill
+    // bounds index inflation at 2x; the accept join's candidate count
+    // is corpus/K per probe cell.
+    Q("q120_incremental_semantic_dedup",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semdedup"
+        val tblPath = s"$root/idx_vecs"
+        val tbl = "graft_q120_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        def spilled(df: org.apache.spark.sql.DataFrame) =
+          IvfKmeans.rankCells(
+            df.select(col("vec_id"), col("v"), col("nrm"), col("qv")),
+            "qv", cents, 2)
+            .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        graft.sources.Bucketed.writeBucketed(
+          spilled(seed).withColumn("epoch", lit(0)),
+          tbl, nb, Seq("cell"), path = Some(tblPath))
+        val w1 = e.filter(col("vec_id") % 20 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .withColumn("vec_id", col("vec_id") + 200000L))
+        val w2 = e.filter(col("vec_id") % 20 === 11)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+          .unionByName(e.filter(col("vec_id") % 20 === 1)
+            .withColumn("vec_id", col("vec_id") + 400000L))
+        // accept = probe the wave's crank-1 cell against the stored
+        // spill rows; any indexed neighbor at ≥ Thresh cosine rejects
+        def acceptWave(w: org.apache.spark.sql.DataFrame) = {
+          val probe = IvfKmeans.rankCells(w, "qv", cents, 1)
+            .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell"))
+          val idx = spark.table(tbl)
+            .select(col("cell"), col("v").as("iv"), col("nrm").as("inrm"))
+          val dup = probe.join(idx, Seq("cell"))
+            .filter(VF.quantize1e6(
+              VF.dot(col("v"), col("iv")) / (col("nrm") * col("inrm"))) >= Thresh)
+            .select("vec_id").distinct()
+          probe.join(dup, Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("v"), col("nrm"), col("qv"))
+            .localCheckpoint(true) // feeds spill-commit AND the count
+        }
+        def commit(acc: org.apache.spark.sql.DataFrame, epoch: Int): Unit = {
+          graft.sources.Bucketed.writeBucketed(
+            spilled(acc).withColumn("epoch", lit(epoch)),
+            tbl, nb, Seq("cell"), mode = "append", path = Some(tblPath))
+          spark.catalog.refreshByPath(tblPath)
+        }
+        commit(acceptWave(w1), 1)
+        // replay proof: every wave-1 acceptance now self-matches its
+        // own index entry (probe cell ∈ its spilled cells, cos = 1)
+        val replayed = acceptWave(w1).count()
+        require(replayed == 0L,
+          s"replay of wave 1 accepted $replayed vectors; " +
+            "acceptance must be idempotent once committed")
+        commit(acceptWave(w2), 2)
+        spark.table(tbl).select(col("epoch"), col("vec_id")).distinct()
+          .groupBy(col("epoch"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_id"))
+          .orderBy(col("epoch"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        def spillCte(name: String, src: String) =
+          s"""$name AS (
+             |  SELECT vec_id, v, cell FROM (
+             |    SELECT s.vec_id, s.v, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY s.vec_id
+             |        ORDER BY ${IvfKmeans.distSql("s.qv", "c.cqv", Dim)}, c.cid) AS crank
+             |    FROM $src s, c3 c)
+             |  WHERE crank <= 2)""".stripMargin
+        def probeCte(name: String, src: String) =
+          s"""$name AS (
+             |  SELECT vec_id, v, qv, cell FROM (
+             |    SELECT w.vec_id, w.v, w.qv, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY w.vec_id
+             |        ORDER BY ${IvfKmeans.distSql("w.qv", "c.cqv", Dim)}, c.cid) AS crank
+             |    FROM $src w, c3 c)
+             |  WHERE crank = 1)""".stripMargin
+        def waveCte(p: String, idx: String, d: String, a: String) =
+          s"""$d AS (
+             |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
+             |  WHERE CAST(floor((${cosSql("p.v", "i.v")}) * 1e6) AS BIGINT) >= 400000),
+             |$a AS (
+             |  SELECT p.vec_id, p.v, p.qv FROM $p p
+             |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+           |eall AS (
+           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 4000) AS qv
+           |  FROM embeddings),
+           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+           |${spillCte("i0", "sd")},
+           |w1 AS (
+           |  SELECT vec_id + 100000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 1
+           |  UNION ALL
+           |  SELECT vec_id + 200000, v, qv FROM eall WHERE vec_id % 10 = 0),
+           |${probeCte("p1", "w1")},
+           |${waveCte("p1", "i0", "dd1", "ac1")},
+           |${spillCte("sp1", "ac1")},
+           |i1 AS (SELECT vec_id, v, cell FROM i0
+           |       UNION ALL SELECT vec_id, v, cell FROM sp1),
+           |w2 AS (
+           |  SELECT vec_id + 300000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 11
+           |  UNION ALL
+           |  SELECT vec_id + 400000, v, qv FROM eall WHERE vec_id % 20 = 1),
+           |${probeCte("p2", "w2")},
+           |${waveCte("p2", "i1", "dd2", "ac2")},
+           |committed AS (
+           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
+           |  UNION ALL SELECT 1, vec_id FROM ac1
+           |  UNION ALL SELECT 2, vec_id FROM ac2)
+           |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+           |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
       })
   )
 }

@@ -59,6 +59,9 @@ SLOW_ORACLE_TIMEOUT = {
     "q109_stream_dedup": 900,
     "q110_index_compaction": 900,
     "q112_index_retraction": 900,  # 2x minhashCtes + 1 verify pass
+    # two sequential wave replays, each an inline-cosine probe join
+    # (~15M evals at sf1) — heavy but not quadratic in the corpus
+    "q120_incremental_semantic_dedup": 900,
 }
 
 
