@@ -16,7 +16,8 @@ object Plans {
         "q82_postprocess_fasta", "q84_pipeline_chain",
         "q108_dedup_minhash_word", "q111_data_mixture", "q113_kmeans_step",
         "q114_ivf_lifecycle", "q115_ann_recall", "q116_multimodal_decode",
-        "q117_ivf_nprobe", "q118_semantic_dedup_ivf")
+        "q117_ivf_nprobe", "q118_semantic_dedup_ivf",
+        "q119_semantic_dedup_pipeline", "q120_incremental_semantic_dedup")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
