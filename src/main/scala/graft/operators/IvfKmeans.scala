@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * 100 TB shape, per Lloyd iteration:
   *  - the K centroids ride as ONE sorted `collect_list` row through a
   *    broadcast cross join (K·dim longs — bytes, not gigabytes);
-  *  - assignment is pure map-side `zip_with`/`aggregate` arithmetic —
-  *    no per-vector shuffle;
+  *  - assignment is map-side via the native `array_l2sq` codegen
+  *    expression (one fused long loop) — no per-vector shuffle;
   *  - the update explodes assigned vectors to (cid, dim, x) rows, but
   *    hash partial aggregation collapses each task's output to at most
   *    K·dim rows before the exchange, so the shuffle carries

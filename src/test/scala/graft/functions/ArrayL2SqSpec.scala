@@ -44,9 +44,10 @@ class ArrayL2SqSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
-  test("interpreted eval path agrees with codegen (filter pushdown disables WSCG)") {
-    // force the interpreted path via a non-codegen context: direct
-    // expression eval through a Dataset filter on the driver
+  test("interpreted eval path agrees with codegen (constant folding)") {
+    // a literal-only projection is evaluated by ConstantFolding at
+    // optimization time, which calls nullSafeEval directly — that is
+    // what exercises the interpreted path here (not WSCG disabling)
     val r = spark.sql(
       "SELECT array_l2sq(array(1000L, 2000L, 3000L), array(1003L, 1996L, 3000L)) AS d")
       .head().getLong(0)

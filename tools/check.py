@@ -10,6 +10,14 @@ TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']
 
 
+def cache_key(sf, sql):
+    """Cache key for one (sf_dir, oracle-sql) pair — the single source
+    of truth for the oracle-result cache layout; sweep.py's primed()
+    imports this so the two can never drift (a silent drift would make
+    primed QUADRATIC oracles quietly revert to being skipped)."""
+    return hashlib.sha256((sf + '\0' + sql).encode()).hexdigest()[:24]
+
+
 def run_oracle(con, sf, sql):
     """Execute oracle SQL, with an optional result cache keyed by
     (sf_dir, sql-text) under $GRAFT_ORACLE_CACHE. Two uses: (1) queries
@@ -24,8 +32,7 @@ def run_oracle(con, sf, sql):
     if not cache_dir:
         return con.sql(sql).df()
     os.makedirs(cache_dir, exist_ok=True)
-    key = hashlib.sha256((sf + '\0' + sql).encode()).hexdigest()[:24]
-    cpath = f'{cache_dir}/{key}.parquet'
+    cpath = f'{cache_dir}/{cache_key(sf, sql)}.parquet'
     if os.path.exists(cpath):
         return pd.read_parquet(cpath)
     duck = con.sql(sql).df()

@@ -67,10 +67,11 @@ SLOW_ORACLE_TIMEOUT = {
 
 def primed(cache_dir, sf_dir, sql):
     """True iff check.py's run_oracle would hit the cache for this
-    oracle (same key derivation: sha256(sf_dir NUL sql))."""
-    import hashlib
-    key = hashlib.sha256((sf_dir + "\0" + sql).encode()).hexdigest()[:24]
-    return os.path.exists(f"{cache_dir}/{key}.parquet")
+    oracle — key derivation imported from check.py so the two can
+    never silently drift."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check import cache_key
+    return os.path.exists(f"{cache_dir}/{cache_key(sf_dir, sql)}.parquet")
 
 
 def main():
