@@ -64,11 +64,18 @@ object IvfKmeans {
       struct(distL2(qv, c.getField("cqv")).as("dist"),
         c.getField("cid").as("cid"))))
 
-  /** Deterministic seed centroids: the first `k` vectors by id, packed
-    * into ONE sorted array-of-structs row (sort_array fixes
-    * collect_list's arrival order). */
+  /** Deterministic seed centroids: the `k` lowest-vec_id rows OF THE
+    * TRAINING FRAME, packed into ONE sorted array-of-structs row
+    * (sort_array fixes collect_list's arrival order). Rank-based, not
+    * `vec_id < k`: a RESTRICTED training corpus (q120 trains on the
+    * seed half, vec_id % 2 == 0) still yields k effective cells —
+    * the id-filter form silently halved q120's index to 4 cells
+    * (r9 ADVICE). For a contiguous-id corpus the two are identical,
+    * so every full-corpus gate's rows are unchanged. Scale: the
+    * sort+limit plans as TakeOrderedAndProject — per-partition top-k,
+    * k rows to the driver, no global sort. */
   def seedCents(q: DataFrame, k: Int): DataFrame =
-    q.filter(col("vec_id") < k)
+    q.orderBy(col("vec_id")).limit(k)
       .select(struct(col("vec_id").as("cid"), col("qv").as("cqv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cents"))
 
@@ -121,6 +128,43 @@ object IvfKmeans {
         col("cellrec.cid").as("cell"): _*)
   }
 
+  /** Spill-blocked, cosine-verified near-duplicate PAIRS: every
+    * vector indexes into its 2 nearest trained cells
+    * ([[rankCells]] — boundary pairs split across neighboring cells
+    * still collide in the spill cell), candidates are same-cell
+    * pairs, and only candidates pay the exact cosine verify. ONE
+    * definition for the q118 (pair listing) and q119 (clustering
+    * pipeline) gates — each carried an inline copy until r10, exactly
+    * the retune-drift hazard
+    * [[graft.functions.MinhashPipeline.acceptAgainstIndex]]
+    * eliminated for the minhash family. `e` needs (vec_id, v, nrm,
+    * qv); returns (vec_a, vec_b, sim_x1e6) with vec_a < vec_b,
+    * DISTINCT (a pair sharing both cells collides twice).
+    * 100 TB: no corpus broadcast — centroids ride as one K·dim row,
+    * the candidate join shuffles by cell only, spill bounds index
+    * inflation at exactly 2×. [[spillPairsCtes]] is the oracle
+    * mirror. */
+  def spillPairs(e: DataFrame, cents: DataFrame, threshX1e6: Long): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    // materialized once: the spill assignment feeds both sides of the
+    // candidate self-join, which would otherwise replay the centroid
+    // ranking twice (at scale this frame IS the index — a bucketed
+    // table, cf. q120)
+    val spilled = rankCells(e, "qv", cents, 2)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .localCheckpoint(true)
+    val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim_x1e6",
+        VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("sim_x1e6") >= threshX1e6)
+      .select(col("vec_a"), col("vec_b"), col("sim_x1e6"))
+      .distinct()
+  }
+
   /** `iters` Lloyd iterations from the id-seeded centroids. Each
     * iteration's K-row centroid frame is materialized
     * (localCheckpoint) — K·dim longs, and without it iteration t's
@@ -147,8 +191,8 @@ object IvfKmeans {
     * tables (cid, cqv). The truncating `//` mean matches the engine's
     * `DIV` because every coordinate is offset-positive. `where`
     * restricts the TRAINING corpus (e.g. a seed-index subset, q120);
-    * the default empty string leaves the emitted SQL byte-identical
-    * to the unrestricted form every existing gate hashes against. */
+    * c0 mirrors [[seedCents]]'s rank-based seeding (ORDER BY vec_id
+    * LIMIT k), so a restricted corpus still seeds k cells. */
   def lloydCtes(k: Int, iters: Int, dim: Int, offset: Long,
                 where: String = ""): String = {
     val head =
@@ -157,7 +201,7 @@ object IvfKmeans {
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + $offset) AS qv
          |  FROM embeddings$where),
-         |c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < $k)""".stripMargin
+         |c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q ORDER BY vec_id LIMIT $k)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""d$t AS (
          |  SELECT q.vec_id, q.qv, c.cid,
@@ -177,6 +221,40 @@ object IvfKmeans {
     }
     (head +: steps).mkString(",\n")
   }
+
+  /** SQL mirror of one [[rankCells]] spill/probe assignment: emits
+    * `$name(vec_id, <passthru>, cell)` — each `$src` row exploded to
+    * its `maxProbe` nearest `$cents` cells under the (dist, cid)
+    * tie-break. Shared by the q118/q119 pairs mirror
+    * ([[spillPairsCtes]]) and q120's index/probe CTEs. */
+  def spillAssignCte(name: String, src: String, dim: Int,
+                     passthru: Seq[String] = Nil, cents: String = "c3",
+                     maxProbe: Int = 2): String = {
+    val outer = passthru.map(c => s", $c").mkString
+    val inner = passthru.map(c => s", s.$c").mkString
+    s"""$name AS (
+       |  SELECT vec_id$outer, cell FROM (
+       |    SELECT s.vec_id$inner, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${distSql("s.qv", "c.cqv", dim)}, c.cid) AS crank
+       |    FROM $src s, $cents c)
+       |  WHERE crank <= $maxProbe)""".stripMargin
+  }
+
+  /** Oracle mirror of [[spillPairs]]: spill assignment (`sp`, from the
+    * [[lloydCtes]] `q` frame), vector fetch (`ev`, joining a CTE `e`
+    * of (vec_id, v) double lists), and the verified-pair set `spairs`
+    * (vec_a, vec_b, sim_x1e6). `cos` renders the caller's cosine SQL
+    * (the engine/oracle float folds live with the queries). */
+  def spillPairsCtes(dim: Int, threshX1e6: Long,
+                     cos: (String, String) => String): String =
+    s"""${spillAssignCte("sp", "q", dim)},
+       |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id)),
+       |spairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+       |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) >= $threshX1e6)""".stripMargin
 
   /** Final-assignment CTE against `c$iters` → `afin` (vec_id, qv,
     * cell). Append after [[lloydCtes]]. */

@@ -2880,42 +2880,18 @@ object QueriesLlm {
             IvfKmeans.quantize(col("embedding"), Off).as("qv"))
           .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
-        // spill assignment (IvfKmeans.rankCells): each vector -> its 2
-        // nearest trained cells. Materialized once — it IS the index
-        // (at scale: a bucketed table), and it feeds both sides of the
-        // candidate self-join, which would otherwise replay the
-        // centroid ranking twice
-        val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-          .localCheckpoint(true)
-        val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
-          .withColumn("sim_x1e6",
-            VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
-          .filter(col("sim_x1e6") >= 400000L)
-          .select(col("vec_a"), col("vec_b"), col("sim_x1e6"))
-          .distinct()
+        // spill-block + cosine-verify is the shared IvfKmeans
+        // definition (one block for q118/q119, the acceptAgainstIndex
+        // discipline applied to the embedding family)
+        IvfKmeans.spillPairs(e, cents, 400000L)
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some {
         import graft.operators.IvfKmeans
         s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
            |$embCte,
-           |sp AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT q.vec_id, c.cid AS cell,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${IvfKmeans.distSql("q.qv", "c.cqv", Dim)}, c.cid) AS crank
-           |    FROM q, c3 c)
-           |  WHERE crank <= 2),
-           |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id))
-           |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |  CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
-           |FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |WHERE CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) >= 400000
+           |${IvfKmeans.spillPairsCtes(Dim, 400000L, cosSql)}
+           |SELECT vec_a, vec_b, sim_x1e6 FROM spairs
            |ORDER BY vec_a, vec_b""".stripMargin
       }),
 
@@ -2942,18 +2918,10 @@ object QueriesLlm {
             IvfKmeans.quantize(col("embedding"), Off).as("qv"))
           .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), 8, 3)
-        val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-          .localCheckpoint(true)
-        val a = spilled.select(col("cell"), col("vec_id").as("vec_a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val b = spilled.select(col("cell"), col("vec_id").as("vec_b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        val pairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
-          .withColumn("sim_x1e6",
-            VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
-          .filter(col("sim_x1e6") >= 400000L)
-          .select(col("vec_a"), col("vec_b")).distinct()
+        // same shared spill-block + verify as q118; only the pair set
+        // feeds the clustering here
+        val pairs = IvfKmeans.spillPairs(e, cents, 400000L)
+          .select(col("vec_a"), col("vec_b"))
         graft.operators.ConnectedComponents.components(pairs, "vec_a", "vec_b")
           .groupBy(col("comp"))
           .agg(count(lit(1)).as("cluster_size"))
@@ -2965,18 +2933,8 @@ object QueriesLlm {
         import graft.operators.IvfKmeans
         s"""WITH RECURSIVE ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
            |$embCte,
-           |sp AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT q.vec_id, c.cid AS cell,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${IvfKmeans.distSql("q.qv", "c.cqv", Dim)}, c.cid) AS crank
-           |    FROM q, c3 c)
-           |  WHERE crank <= 2),
-           |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id)),
-           |pairs AS (
-           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |  WHERE CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) >= 400000),
+           |${IvfKmeans.spillPairsCtes(Dim, 400000L, cosSql)},
+           |pairs AS (SELECT vec_a, vec_b FROM spairs),
            |edges AS (
            |  SELECT vec_a AS x, vec_b AS y FROM pairs
            |  UNION SELECT vec_b, vec_a FROM pairs),
@@ -3028,6 +2986,9 @@ object QueriesLlm {
             IvfKmeans.quantize(col("embedding"), Off).as("qv"))
           .withColumn("nrm", sqrt(VF.normSq(col("v"))))
         val seed = e.filter(col("vec_id") % 2 === 0)
+        // rank-based seeding (IvfKmeans.seedCents): the restricted
+        // training corpus still yields 8 EFFECTIVE cells — the old
+        // vec_id < k seed silently halved this index to 4 (r9 ADVICE)
         val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
           .localCheckpoint(true)
         val nb = graft.functions.DedupConfig.IndexBuckets
@@ -3084,21 +3045,9 @@ object QueriesLlm {
       Some {
         import graft.operators.IvfKmeans
         def spillCte(name: String, src: String) =
-          s"""$name AS (
-             |  SELECT vec_id, v, cell FROM (
-             |    SELECT s.vec_id, s.v, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY s.vec_id
-             |        ORDER BY ${IvfKmeans.distSql("s.qv", "c.cqv", Dim)}, c.cid) AS crank
-             |    FROM $src s, c3 c)
-             |  WHERE crank <= 2)""".stripMargin
+          IvfKmeans.spillAssignCte(name, src, Dim, Seq("v"))
         def probeCte(name: String, src: String) =
-          s"""$name AS (
-             |  SELECT vec_id, v, qv, cell FROM (
-             |    SELECT w.vec_id, w.v, w.qv, c.cid AS cell,
-             |      row_number() OVER (PARTITION BY w.vec_id
-             |        ORDER BY ${IvfKmeans.distSql("w.qv", "c.cqv", Dim)}, c.cid) AS crank
-             |    FROM $src w, c3 c)
-             |  WHERE crank = 1)""".stripMargin
+          IvfKmeans.spillAssignCte(name, src, Dim, Seq("v", "qv"), maxProbe = 1)
         def waveCte(p: String, idx: String, d: String, a: String) =
           s"""$d AS (
              |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell

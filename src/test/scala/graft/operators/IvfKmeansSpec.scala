@@ -54,6 +54,22 @@ class IvfKmeansSpec extends SparkSpec {
     assert(used.subsetOf(cids), s"assigned cells $used not in trained $cids")
   }
 
+  test("rank-based seeding: a restricted training frame still seeds k cells") {
+    // all-even ids (q120's seed-half shape): the pre-r10 `vec_id < k`
+    // filter found only {0, 2} of k=4 — half the configured cells
+    val q = (0 until 40).map(i => (2L * i, Seq(i * 50L, (i % 5) * 700L)))
+      .toDF("vec_id", "qv")
+    val cents = IvfKmeans.seedCents(q, 4)
+    assert(cents.select(size(col("cents"))).head.getInt(0) == 4)
+    val cids = cents.select(explode(col("cents")).as("c"))
+      .select(col("c.cid")).as[Long].collect().toSet
+    assert(cids == Set(0L, 2L, 4L, 6L))
+    // and the top-k plans as TakeOrderedAndProject (per-partition
+    // top-k, k rows merged), never a global sort of the corpus
+    val plan = IvfKmeans.seedCents(q, 4).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("a centroid that captures no vectors drops out (duplicate seeds shrink K)") {
     // vec 0 and vec 1 are identical points: every vector ties between
     // the two seed centroids identically, ties break to the lower cid,
