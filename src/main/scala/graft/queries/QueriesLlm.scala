@@ -2239,9 +2239,9 @@ object QueriesLlm {
         // ---- THE OPERATION UNDER TEST: collapse epoch file sets and
         // grow capacity 8 -> 16 buckets, at the epoch barrier
         graft.sources.Bucketed.compact(spark, docTable, nb * 2,
-          Seq("doc_id"), path = Some(docPath))
+          Seq("doc_id"), docPath)
         graft.sources.Bucketed.compact(spark, bandTable, nb * 2,
-          Seq("bkey"), path = Some(bandPath))
+          Seq("bkey"), bandPath)
         commit(2, accept(signedDocs(w2)), nb * 2)
         spark.table(docTable)
           .groupBy(col("epoch"), col("lang"))

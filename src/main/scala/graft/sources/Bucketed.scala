@@ -99,20 +99,13 @@ object Bucketed {
     * every subsequent join on `keys` is exchange-free again —
     * identical rows, identical downstream plans. Run it at an epoch
     * barrier (q109) or between waves (q99/q91), where the table is
-    * frozen by construction. Path-backed tables go through the
-    * crash-safe staged swap ([[replaceWith]]); the managed-table form
-    * (no `path`) keeps the r8 snapshot+rewrite and must only run where
-    * the whole table can be rebuilt from scratch — the data is held in
-    * executor-local checkpoint blocks between drop and rewrite. */
+    * frozen by construction. `path` is required: compaction always
+    * goes through the crash-safe staged swap ([[replaceWith]]), so at
+    * no point does the table exist only in executor memory (the old
+    * managed-table branch localCheckpoint'd between drop and rewrite —
+    * a crash there lost the table; it had no production caller and is
+    * deleted). */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String,
-              buckets: Int, keys: Seq[String],
-              path: Option[String] = None): Unit = path match {
-    case Some(p) =>
-      replaceWith(spark, table, spark.table(table), buckets, keys, p)
-    case None =>
-      val snapshot = spark.table(table).localCheckpoint(true)
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      writeBucketed(snapshot, table, buckets, keys)
-      snapshot.unpersist()
-  }
+              buckets: Int, keys: Seq[String], path: String): Unit =
+    replaceWith(spark, table, spark.table(table), buckets, keys, path)
 }

@@ -125,7 +125,7 @@ class BucketedJoinSpec extends SparkSpec {
       val sumBefore = spark.table(t).agg(sum($"k")).head.getLong(0)
       assert(rowsBefore == 8000L)
 
-      Bucketed.compact(spark, t, 8, Seq("k"), path = Some(p))
+      Bucketed.compact(spark, t, 8, Seq("k"), p)
 
       assert(spark.table(t).count() == rowsBefore, "compact must not change rows")
       assert(spark.table(t).agg(sum($"k")).head.getLong(0) == sumBefore)
