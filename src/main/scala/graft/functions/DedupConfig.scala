@@ -29,6 +29,19 @@ object DedupConfig {
     * corpora. */
   val IndexBuckets = 8
 
+  /** Hot-bucket threshold/cap for the LSH band join
+    * ([[MinhashPipeline.capBands]]): a band bucket above this size is
+    * SPLIT by full-signature hash (identical-signature copy families
+    * keep generating their pairs; differing-signature boilerplate
+    * collisions are separated), and each split group is capped at
+    * this many lowest-doc_id members as the hard bound. 32 comfortably
+    * exceeds the corpora's true-duplicate family sizes (~10-20 exact
+    * copies at the gen_sf scale-ups), so intra-family pairs survive
+    * whole; a hot bucket's candidate contribution drops from O(m²) to
+    * O(m·cap). Size it above the expected copy-family size for the
+    * deployment corpus. */
+  val HotBucketCap = 32
+
   /** Size-ratio necessary condition for J >= JaccThreshold/1000:
     * J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing
     * 10*min >= 7*max cannot reach 0.700 — the filter only skips

@@ -36,11 +36,76 @@ object MinhashPipeline {
   /** Exploded LSH band keys combined into ONE collision-free long
     * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
     * single-column bucket spec == single-column join key. Input needs
-    * a `sig` column (from [[signedDocs]]); output (doc_id, bkey). */
-  def bandKeysOf(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
-      TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
-    .select(col("doc_id"), (col("band_key") * Bands + col("band_idx")).as("bkey"))
+    * a `sig` column (from [[signedDocs]]); output (doc_id, <passthru>,
+    * bkey). */
+  def bandKeysOf(df: DataFrame, passthru: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: passthru.map(col)
+    df.select(keep :+ posexplode(array((0 until Bands).map(b =>
+        TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")): _*)
+      .select(keep :+ (col("band_key") * Bands + col("band_idx")).as("bkey"): _*)
+  }
+
+  /** HOT-BUCKET CONTROL for the LSH band self-join: a band bucket of
+    * m docs contributes m·(m-1)/2 candidate pairs, and on
+    * boilerplate-dense content m explodes (q41 engine-only sf1:
+    * 891 s from ~20.5M candidates, artifacts/r9_engine_sf1.json —
+    * and at 100 TB boilerplate shards ARE that pathology). Naive
+    * truncation is the wrong fix: the hot buckets are exactly where
+    * exact-copy families land, so cutting them cuts the true
+    * duplicates. (Splitting by MINHASH-SIGNATURE hash fails the same
+    * way on degenerate content: measured on the sf0.01 corpus, 572
+    * docs share 8 distinct full signatures — a signature cannot
+    * split what it cannot distinguish.) Instead, a bucket exceeding
+    * `cap` members is SPLIT by CONTENT FINGERPRINT (`sg`, a fold of
+    * the full sorted shingle-hash list `hl`): docs with an identical
+    * shingle SET — exact copies and J=1.0 rewrites — stay co-grouped
+    * and their pairs survive; everything else in the hot bucket is
+    * separated and generates no candidates. An over-cap bucket thus
+    * degrades gracefully from NEAR-dup to EXACT(-set)-dup detection —
+    * the production tradeoff: boilerplate buckets are dominated by
+    * literal copies, and the sub-1.0 pairs that only ever collide in
+    * hot bands are the measured recall cost
+    * (artifacts/r10_hotcap_quality.json). Each (bucket, group) is
+    * additionally capped at the `cap` lowest doc_ids (deterministic
+    * tie-break, replayed by [[capBandsCte]]) as the hard bound for
+    * monster copy-families, so a hot bucket's candidates are
+    * O(m·cap) instead of O(m²). Output (doc_id, bkey, grp):
+    * self-join on (bkey, grp). 100 TB: both windows partition by
+    * bkey(, grp) — the band join's own shuffle key — so candidate
+    * generation still costs ONE exchange. */
+  def capBands(wsig: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandKeysOf(wsig.withColumn("sg",
+      aggregate(col("hl"), lit(0L), (a, x) => (a * 31 + x) % TF.HashMod)),
+      passthru = Seq("sg"))
+    val hot = count(lit(1)).over(Window.partitionBy(col("bkey"))) > cap
+    bands
+      .withColumn("grp", when(hot, col("sg")).otherwise(lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkey"), col("grp")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("bkey"), col("grp"))
+  }
+
+  /** Oracle mirror of [[capBands]] over `{prefix}bands`/`{prefix}docs`
+    * (from [[minhashCtes]]) — emits `{prefix}cap(doc_id, bkey, grp)`.
+    * The fingerprint folds the SORTED hl (the engine's `hl` is sorted
+    * by construction; minhashCtes' is distinct-but-unsorted). */
+  def capBandsCte(prefix: String, cap: Int): String = {
+    val fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(hl)),
+       |        (a, x) -> (a * 31 + x) % ${TF.HashMod})""".stripMargin
+    s"""${prefix}sg AS (SELECT doc_id, $fold AS sg FROM ${prefix}docs),
+       |${prefix}cap AS (
+       |  SELECT doc_id, bkey, grp FROM (
+       |    SELECT doc_id, bkey, grp,
+       |      row_number() OVER (PARTITION BY bkey, grp ORDER BY doc_id) AS rn
+       |    FROM (
+       |      SELECT b.doc_id, b.bkey,
+       |        CASE WHEN count(*) OVER (PARTITION BY b.bkey) > $cap
+       |             THEN s.sg ELSE 0 END AS grp
+       |      FROM ${prefix}bands b JOIN ${prefix}sg s USING (doc_id)))
+       |  WHERE rn <= $cap)""".stripMargin
+  }
 
   /** Verified near-duplicate PAIRS of a signed wave against the
     * persistent bucketed index — the ENGINE side of the

@@ -3084,6 +3084,88 @@ object QueriesLlm {
            |  UNION ALL SELECT 2, vec_id FROM ac2)
            |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
            |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- HOT-BUCKET-CONTROLLED LSH near-dup join: the q41/q108 band
+    // self-join with WORST-CASE CANDIDATE INFLATION BOUNDED. A band
+    // key shared by m documents contributes m·(m-1)/2 candidate pairs;
+    // on boilerplate-dense content m explodes (q41 engine-only sf1:
+    // 891 s, ~20.5M candidates — artifacts/r9_engine_sf1.json), and at
+    // 100 TB boilerplate shards ARE that pathology. Naive per-bucket
+    // truncation is the wrong fix — on the copy-dense scale-ups the
+    // hot buckets hold exactly the exact-copy families, so truncation
+    // cuts the true duplicates (measured before this design: 3/29
+    // pairs at sf0.01). Instead a hot bucket SPLITS by full-signature
+    // hash (MinhashPipeline.capBands): copy families — identical
+    // signatures — keep generating their pairs; differing-signature
+    // boilerplate collisions are separated; a per-group cap of the
+    // HotBucketCap lowest doc_ids (deterministic tie-break, replayed
+    // by the oracle) is the hard bound, so a hot bucket costs
+    // O(m·cap), not O(m²). The gate PLANTS exact copies (the q40
+    // fixture shape) so it proves copy-pair survival through hot
+    // buckets, not just the bound; the recall cost on non-identical
+    // coincidental pairs is measured, not assumed
+    // (artifacts/r10_hotcap_quality.json), the way q118 records
+    // blocked recall. Candidates are DISTINCT'd before the verify
+    // (each pair pays the two-pointer intersect once, not once per
+    // shared band). 100 TB: the cap windows partition by bkey(, grp)
+    // — the band join's own shuffle key — so candidate generation
+    // still costs ONE exchange; the verify joins shuffle capped
+    // candidates only. Reference anchor: the preload-cache-size
+    // discipline of VariantLoad3.java:483-495 (bound the in-flight
+    // candidate set, never the corpus).
+    Q("q121_dedup_lsh_hotcap",
+      (spark, dir) => {
+        import graft.functions.DedupConfig.HotBucketCap
+        val d = table(spark, dir, "documents").select("doc_id", "lang", "text")
+        val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        // one signature pass feeds banding AND both verify sides
+        val sig = signedDocs(corpus).localCheckpoint(true)
+        val capped = graft.functions.MinhashPipeline.capBands(sig, HotBucketCap)
+        val cand = capped.as("a").join(capped.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.grp") === col("b.grp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sig.select(col("doc_id").as("doc_a"),
+            col("hl").as("hl_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"),
+            col("hl").as("hl_b"), col("sz").as("sz_b")), "doc_b")
+          .filter(sizeRatioOk(col("sz_a"), col("sz_b")))
+          .withColumn("inter",
+            call_function("sorted_inter_count", col("hl_a"), col("hl_b")))
+          .withColumn("jacc_x1000",
+            expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
+          .filter(col("jacc_x1000") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        import graft.functions.DedupConfig.HotBucketCap
+        import graft.functions.MinhashPipeline.capBandsCte
+        s"""WITH cp AS (
+           |  SELECT doc_id, lang, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 7 = 0),
+           |${minhashCtes("c", "cp")},
+           |${capBandsCte("c", HotBucketCap)},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ccap a JOIN ccap b
+           |    ON a.bkey = b.bkey AND a.grp = b.grp AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jacc_x1000 FROM (
+           |  SELECT c.doc_a, c.doc_b,
+           |    CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT) * 1000
+           |      // (x.sz + y.sz - CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT))
+           |      AS jacc_x1000
+           |  FROM cand c
+           |  JOIN cdocs x ON x.doc_id = c.doc_a
+           |  JOIN cdocs y ON y.doc_id = c.doc_b
+           |  WHERE least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7)
+           |WHERE jacc_x1000 >= $JaccThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
       })
   )
 }
