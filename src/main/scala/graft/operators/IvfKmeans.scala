@@ -192,32 +192,38 @@ object IvfKmeans {
     * `DIV` because every coordinate is offset-positive. `where`
     * restricts the TRAINING corpus (e.g. a seed-index subset, q120);
     * c0 mirrors [[seedCents]]'s rank-based seeding (ORDER BY vec_id
-    * LIMIT k), so a restricted corpus still seeds k cells. */
+    * LIMIT k), so a restricted corpus still seeds k cells. `src` is
+    * the (vec_id, embedding) relation to train on — a table name or a
+    * parenthesized subquery; `pfx` prefixes every emitted CTE name so
+    * a SECOND training chain (q124's retrain on the committed corpus)
+    * can coexist with the first in one oracle. Defaults leave every
+    * existing gate's SQL unchanged. */
   def lloydCtes(k: Int, iters: Int, dim: Int, offset: Long,
-                where: String = ""): String = {
+                where: String = "", src: String = "embeddings",
+                pfx: String = ""): String = {
     val head =
-      s"""q AS (
+      s"""${pfx}q AS (
          |  SELECT vec_id,
          |    list_transform(embedding,
          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + $offset) AS qv
-         |  FROM embeddings$where),
-         |c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q ORDER BY vec_id LIMIT $k)""".stripMargin
+         |  FROM $src$where),
+         |${pfx}c0 AS (SELECT vec_id AS cid, qv AS cqv FROM ${pfx}q ORDER BY vec_id LIMIT $k)""".stripMargin
     val steps = (1 to iters).map { t =>
-      s"""d$t AS (
+      s"""${pfx}d$t AS (
          |  SELECT q.vec_id, q.qv, c.cid,
          |    ${distSql("q.qv", "c.cqv", dim)} AS dist
-         |  FROM q, c${t - 1} c),
-         |a$t AS (
+         |  FROM ${pfx}q q, ${pfx}c${t - 1} c),
+         |${pfx}a$t AS (
          |  SELECT vec_id, qv, cid, dist,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM d$t),
-         |s$t AS (
+         |  FROM ${pfx}d$t),
+         |${pfx}s$t AS (
          |  SELECT cid, dim, CAST(sum(x) AS BIGINT) AS sd, count(*) AS n
          |  FROM (SELECT cid, unnest(qv) AS x,
          |          unnest(generate_series(1, $dim)) AS dim
-         |        FROM a$t WHERE rn = 1)
+         |        FROM ${pfx}a$t WHERE rn = 1)
          |  GROUP BY cid, dim),
-         |c$t AS (SELECT cid, list(sd // n ORDER BY dim) AS cqv FROM s$t GROUP BY cid)""".stripMargin
+         |${pfx}c$t AS (SELECT cid, list(sd // n ORDER BY dim) AS cqv FROM ${pfx}s$t GROUP BY cid)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }

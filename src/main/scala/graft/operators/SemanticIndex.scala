@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+
+/** The persistent SEMANTIC dedup index — the embedding-family sibling
+  * of the minhash index lifecycle (q99 build / q109 stream / q110
+  * compact / q112 retract), as ONE definition shared by every gate
+  * that drives it (q120 incremental ingest, q122 compaction, q123
+  * retraction, q124 retrain) so a retune of the probe/verify contract
+  * can never drift the gates apart — the
+  * [[graft.functions.MinhashPipeline.acceptAgainstIndex]] discipline
+  * applied to the embedding family.
+  *
+  * Layout: each vector is stored in its 2 nearest TRAINED cells
+  * ([[IvfKmeans.rankCells]] spill — boundary near-dups still collide),
+  * bucketed on `cell` so every wave's candidate join enters
+  * exchange-free on the store side; centroids are trained once and
+  * FROZEN in the [[Handle]] (waves assign against frozen cells;
+  * retraining is the scheduled maintenance job, q124).
+  *
+  * 100 TB: waves shuffle only themselves (probe side), the index
+  * never re-shuffles on ingest; spill bounds index inflation at
+  * exactly 2x; the accept join's candidate count is ~corpus/K per
+  * probe cell.
+  *
+  * Reference anchor: the verify-before-insert contract of
+  * `VariantLoad3.saveVariants:479-589` (candidate lookup + exact
+  * verify + insert-novel-only), at embedding granularity.
+  */
+object SemanticIndex {
+
+  /** One index handle: the cell-bucketed store plus the FROZEN
+    * centroid frame its waves probe against. `threshX1e6` is the
+    * cosine near-dup threshold (floor(cos*1e6)). */
+  final case class Handle(spark: SparkSession, table: String, path: String,
+                          cents: DataFrame, buckets: Int, threshX1e6: Long)
+
+  /** Spill assignment of (vec_id, v, nrm, qv [, extra...]) rows into
+    * their 2 nearest cells — the index's storage layout. `extra`
+    * columns (e.g. `epoch` during a q124 reassignment) ride through. */
+  def spilled(h: Handle, df: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    IvfKmeans.rankCells(
+        df.select((Seq("vec_id", "v", "nrm", "qv") ++ extra).map(col): _*),
+        "qv", h.cents, 2)
+      .select((Seq("vec_id", "v", "nrm", "cell") ++ extra).map(col): _*)
+
+  /** Write the epoch-0 seed index (one bucketed shuffle, paid once —
+    * every later wave joins it exchange-free). */
+  def writeEpoch0(h: Handle, seed: DataFrame): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      spilled(h, seed).withColumn("epoch", lit(0)),
+      h.table, h.buckets, Seq("cell"), path = Some(h.path))
+
+  /** The ACCEPT side of the verify-before-insert contract: wave rows
+    * with NO stored neighbor at >= threshX1e6 cosine in their crank-1
+    * probe cell. Wave needs (vec_id, v, nrm, qv). Materialized — the
+    * result feeds the spill-commit AND whatever count/replay the
+    * caller does. */
+  def acceptWave(h: Handle, w: DataFrame): DataFrame = {
+    val probe = IvfKmeans.rankCells(
+        w.select(col("vec_id"), col("v"), col("nrm"), col("qv")),
+        "qv", h.cents, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell"))
+    val idx = h.spark.table(h.table)
+      .select(col("cell"), col("v").as("iv"), col("nrm").as("inrm"))
+    val dup = probe.join(idx, Seq("cell"))
+      .filter(VF.quantize1e6(
+        VF.dot(col("v"), col("iv")) / (col("nrm") * col("inrm"))) >= h.threshX1e6)
+      .select("vec_id").distinct()
+    probe.join(dup, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("nrm"), col("qv"))
+      .localCheckpoint(true)
+  }
+
+  /** Commit an accepted frame as `epoch`: spill-assign and append.
+    * `buckets` must match the table's CURRENT bucket spec (it changes
+    * across a q122 compaction). */
+  def commit(h: Handle, acc: DataFrame, epoch: Int,
+             buckets: Int): Unit = {
+    graft.sources.Bucketed.writeBucketed(
+      spilled(h, acc).withColumn("epoch", lit(epoch)),
+      h.table, buckets, Seq("cell"), mode = "append", path = Some(h.path))
+    h.spark.catalog.refreshByPath(h.path)
+  }
+
+  /** The gate rollup: per-epoch distinct-vector count + id sum (each
+    * vector has 2 spill rows; distinct collapses them). */
+  def rollup(h: Handle): DataFrame =
+    h.spark.table(h.table).select(col("epoch"), col("vec_id")).distinct()
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_id"))
+      .orderBy(col("epoch"))
+
+  /** RETRACT a tombstone set (takedown / retention): filtered rewrite
+    * of the store through the crash-safe staged swap — both spill
+    * rows of each tombstoned vector disappear, so no ghost cell entry
+    * can reject a future wave. Run at an epoch barrier; at 100 TB the
+    * same tombstone frame can instead be anti-joined per wave until
+    * the next compaction physically purges it (q112's note). */
+  def retract(h: Handle, tombstones: DataFrame): Unit =
+    graft.sources.Bucketed.replaceWith(h.spark, h.table,
+      h.spark.table(h.table).join(tombstones, Seq("vec_id"), "left_anti"),
+      h.buckets, Seq("cell"), h.path)
+
+  /** The DISTINCT committed vectors of the store with their quantized
+    * coordinates recomputed from the stored doubles (bit-identical to
+    * quantizing the original floats: both are floor(double*1000)) —
+    * the input a retrain (q124) consumes. Keeps (epoch, vec_id, v,
+    * nrm, qv). */
+  def committedVectors(h: Handle, offset: Long): DataFrame =
+    h.spark.table(h.table)
+      .select(col("epoch"), col("vec_id"), col("v"), col("nrm"))
+      .distinct()
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * 1000).cast("long") + offset))
+
+  /** RETRAIN + REASSIGN — the maintenance job the frozen-centroid
+    * design defers to (q110's compaction analog for cell geometry):
+    * train fresh centroids on the committed corpus, spill-reassign
+    * every stored vector to the NEW cells, and swap the store
+    * crash-safely. Returns the NEW handle (new frozen centroids, new
+    * bucket count) that subsequent waves must probe with. Epoch
+    * labels survive reassignment — provenance is orthogonal to
+    * geometry. */
+  def retrainReassign(h: Handle, offset: Long, k: Int, iters: Int,
+                      buckets: Int): Handle = {
+    val cm = committedVectors(h, offset).localCheckpoint(true)
+    val cents = IvfKmeans.train(cm.select(col("vec_id"), col("qv")), k, iters)
+      .localCheckpoint(true)
+    val h2 = h.copy(cents = cents, buckets = buckets)
+    graft.sources.Bucketed.replaceWith(h.spark, h.table,
+      spilled(h2, cm, extra = Seq("epoch")),
+      buckets, Seq("cell"), h.path)
+    h2
+  }
+}

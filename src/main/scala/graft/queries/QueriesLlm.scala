@@ -186,6 +186,65 @@ object QueriesLlm {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)}))"
 
+  // ---- semantic-index oracle building blocks, shared by the
+  // embedding-family lifecycle gates (q120 ingest / q122 compaction /
+  // q123 retraction / q124 retrain) the way minhashCtes/verifiedDupCte
+  // are shared by the minhash family. All mirror
+  // operators/SemanticIndex against the trained-centroid CTE `cents`.
+  private def semSpillCte(name: String, src: String, cents: String = "c3") =
+    graft.operators.IvfKmeans.spillAssignCte(name, src, Dim, Seq("v"), cents)
+  private def semProbeCte(name: String, src: String, cents: String = "c3") =
+    graft.operators.IvfKmeans.spillAssignCte(name, src, Dim, Seq("v", "qv"),
+      cents, maxProbe = 1)
+  private def semWaveCte(p: String, idx: String, d: String, a: String) =
+    s"""$d AS (
+       |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
+       |  WHERE CAST(floor((${cosSql("p.v", "i.v")}) * 1e6) AS BIGINT) >= 400000),
+       |$a AS (
+       |  SELECT p.vec_id, p.v, p.qv FROM $p p
+       |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
+  private val semEallCte =
+    """eall AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 4000) AS qv
+      |  FROM embeddings)""".stripMargin
+
+  /** The two-sequential-waves SEMANTIC epoch-dedup oracle, shared
+    * VERBATIM by q120 (plain ingest) and q122 (ingest with a
+    * mid-pipeline index compaction) — the q109/q110 twin-oracle
+    * pattern on the embedding family: identical rollup from either
+    * physical path is what makes q122's compaction provably
+    * semantics-free. */
+  private lazy val semanticEpochOracle: String = {
+    import graft.operators.IvfKmeans
+    s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+       |$semEallCte,
+       |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+       |${semSpillCte("i0", "sd")},
+       |w1 AS (
+       |  SELECT vec_id + 100000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 200000, v, qv FROM eall WHERE vec_id % 10 = 0),
+       |${semProbeCte("p1", "w1")},
+       |${semWaveCte("p1", "i0", "dd1", "ac1")},
+       |${semSpillCte("sp1", "ac1")},
+       |i1 AS (SELECT vec_id, v, cell FROM i0
+       |       UNION ALL SELECT vec_id, v, cell FROM sp1),
+       |w2 AS (
+       |  SELECT vec_id + 300000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 11
+       |  UNION ALL
+       |  SELECT vec_id + 400000, v, qv FROM eall WHERE vec_id % 20 = 1),
+       |${semProbeCte("p2", "w2")},
+       |${semWaveCte("p2", "i1", "dd2", "ac2")},
+       |committed AS (
+       |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
+       |  UNION ALL SELECT 1, vec_id FROM ac1
+       |  UNION ALL SELECT 2, vec_id FROM ac2)
+       |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+       |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+  }
+
   /** DuckDB LSH bucket of a DOUBLE list column `v`. */
   private def bucketSql(v: String): String =
     (0 until Planes).map { j =>
@@ -2974,10 +3033,9 @@ object QueriesLlm {
     // is corpus/K per probe cell.
     Q("q120_incremental_semantic_dedup",
       (spark, dir) => {
-        import graft.operators.IvfKmeans
+        import graft.operators.{IvfKmeans, SemanticIndex}
         val Off = 4000L; val Thresh = 400000L
         val root = s"${Fixtures.scratchRoot}/semdedup"
-        val tblPath = s"$root/idx_vecs"
         val tbl = "graft_q120_vecs"
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         Fixtures.rmrf(new java.io.File(root))
@@ -2991,15 +3049,11 @@ object QueriesLlm {
         // vec_id < k seed silently halved this index to 4 (r9 ADVICE)
         val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
           .localCheckpoint(true)
-        val nb = graft.functions.DedupConfig.IndexBuckets
-        def spilled(df: org.apache.spark.sql.DataFrame) =
-          IvfKmeans.rankCells(
-            df.select(col("vec_id"), col("v"), col("nrm"), col("qv")),
-            "qv", cents, 2)
-            .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-        graft.sources.Bucketed.writeBucketed(
-          spilled(seed).withColumn("epoch", lit(0)),
-          tbl, nb, Seq("cell"), path = Some(tblPath))
+        // the whole ingest lifecycle is the shared SemanticIndex
+        // operator (one definition for q120/q122/q123/q124)
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents,
+          graft.functions.DedupConfig.IndexBuckets, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
         val w1 = e.filter(col("vec_id") % 20 === 1)
           .withColumn("vec_id", col("vec_id") + 100000L)
           .unionByName(e.filter(col("vec_id") % 10 === 0)
@@ -3008,83 +3062,17 @@ object QueriesLlm {
           .withColumn("vec_id", col("vec_id") + 300000L)
           .unionByName(e.filter(col("vec_id") % 20 === 1)
             .withColumn("vec_id", col("vec_id") + 400000L))
-        // accept = probe the wave's crank-1 cell against the stored
-        // spill rows; any indexed neighbor at ≥ Thresh cosine rejects
-        def acceptWave(w: org.apache.spark.sql.DataFrame) = {
-          val probe = IvfKmeans.rankCells(w, "qv", cents, 1)
-            .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell"))
-          val idx = spark.table(tbl)
-            .select(col("cell"), col("v").as("iv"), col("nrm").as("inrm"))
-          val dup = probe.join(idx, Seq("cell"))
-            .filter(VF.quantize1e6(
-              VF.dot(col("v"), col("iv")) / (col("nrm") * col("inrm"))) >= Thresh)
-            .select("vec_id").distinct()
-          probe.join(dup, Seq("vec_id"), "left_anti")
-            .select(col("vec_id"), col("v"), col("nrm"), col("qv"))
-            .localCheckpoint(true) // feeds spill-commit AND the count
-        }
-        def commit(acc: org.apache.spark.sql.DataFrame, epoch: Int): Unit = {
-          graft.sources.Bucketed.writeBucketed(
-            spilled(acc).withColumn("epoch", lit(epoch)),
-            tbl, nb, Seq("cell"), mode = "append", path = Some(tblPath))
-          spark.catalog.refreshByPath(tblPath)
-        }
-        commit(acceptWave(w1), 1)
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w1), 1, h.buckets)
         // replay proof: every wave-1 acceptance now self-matches its
         // own index entry (probe cell ∈ its spilled cells, cos = 1)
-        val replayed = acceptWave(w1).count()
+        val replayed = SemanticIndex.acceptWave(h, w1).count()
         require(replayed == 0L,
           s"replay of wave 1 accepted $replayed vectors; " +
             "acceptance must be idempotent once committed")
-        commit(acceptWave(w2), 2)
-        spark.table(tbl).select(col("epoch"), col("vec_id")).distinct()
-          .groupBy(col("epoch"))
-          .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_id"))
-          .orderBy(col("epoch"))
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w2), 2, h.buckets)
+        SemanticIndex.rollup(h)
       },
-      Some {
-        import graft.operators.IvfKmeans
-        def spillCte(name: String, src: String) =
-          IvfKmeans.spillAssignCte(name, src, Dim, Seq("v"))
-        def probeCte(name: String, src: String) =
-          IvfKmeans.spillAssignCte(name, src, Dim, Seq("v", "qv"), maxProbe = 1)
-        def waveCte(p: String, idx: String, d: String, a: String) =
-          s"""$d AS (
-             |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
-             |  WHERE CAST(floor((${cosSql("p.v", "i.v")}) * 1e6) AS BIGINT) >= 400000),
-             |$a AS (
-             |  SELECT p.vec_id, p.v, p.qv FROM $p p
-             |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
-        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
-           |eall AS (
-           |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
-           |    list_transform(embedding,
-           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 4000) AS qv
-           |  FROM embeddings),
-           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
-           |${spillCte("i0", "sd")},
-           |w1 AS (
-           |  SELECT vec_id + 100000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 1
-           |  UNION ALL
-           |  SELECT vec_id + 200000, v, qv FROM eall WHERE vec_id % 10 = 0),
-           |${probeCte("p1", "w1")},
-           |${waveCte("p1", "i0", "dd1", "ac1")},
-           |${spillCte("sp1", "ac1")},
-           |i1 AS (SELECT vec_id, v, cell FROM i0
-           |       UNION ALL SELECT vec_id, v, cell FROM sp1),
-           |w2 AS (
-           |  SELECT vec_id + 300000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 11
-           |  UNION ALL
-           |  SELECT vec_id + 400000, v, qv FROM eall WHERE vec_id % 20 = 1),
-           |${probeCte("p2", "w2")},
-           |${waveCte("p2", "i1", "dd2", "ac2")},
-           |committed AS (
-           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
-           |  UNION ALL SELECT 1, vec_id FROM ac1
-           |  UNION ALL SELECT 2, vec_id FROM ac2)
-           |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
-           |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
-      }),
+      Some(semanticEpochOracle)),
 
     // -- HOT-BUCKET-CONTROLLED LSH near-dup join: the q41/q108 band
     // self-join with WORST-CASE CANDIDATE INFLATION BOUNDED. A band
@@ -3166,6 +3154,226 @@ object QueriesLlm {
            |  WHERE least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7)
            |WHERE jacc_x1000 >= $JaccThreshold
            |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // -- SEMANTIC index COMPACTION is semantics-free, proven by
+    // oracle: the q110 pattern on the embedding family. Identical
+    // corpus/waves/commits to q120, with ONE difference — between the
+    // epoch-1 commit and wave 2, the cell-bucketed store is compacted
+    // (epoch file sets collapsed AND bucket count doubled 8 -> 16,
+    // the capacity-growth rewrite) through the crash-safe staged
+    // swap. Wave 2 then dedups against the COMPACTED index —
+    // exchange-free at the new bucket count — and the rollup is
+    // hash-compared against the IDENTICAL oracle q120 uses: a
+    // compaction that dropped, duplicated, or re-celled any spill row
+    // would shift ac2 and fail the hash. 100 TB: the periodic
+    // maintenance job for the append-grown store, droppable into a
+    // live ingest pipeline without changing any acceptance decision.
+    Q("q122_semantic_index_compaction",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semcompact"
+        val tbl = "graft_q122_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents,
+          nb, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        val w1 = e.filter(col("vec_id") % 20 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .withColumn("vec_id", col("vec_id") + 200000L))
+        val w2 = e.filter(col("vec_id") % 20 === 11)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+          .unionByName(e.filter(col("vec_id") % 20 === 1)
+            .withColumn("vec_id", col("vec_id") + 400000L))
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w1), 1, nb)
+        // ---- THE OPERATION UNDER TEST: collapse epoch file sets and
+        // grow capacity 8 -> 16 buckets, at the epoch barrier
+        graft.sources.Bucketed.compact(spark, tbl, nb * 2, Seq("cell"), h.path)
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w2), 2, nb * 2)
+        SemanticIndex.rollup(h)
+      },
+      Some(semanticEpochOracle)),
+
+    // -- SEMANTIC index RETRACTION (takedown / retention deletes on
+    // the embedding family — q112's operator for the cell index):
+    // tombstone anti-join + bucketed rewrite through the crash-safe
+    // staged swap, at an epoch barrier. BOTH spill rows of each
+    // tombstoned vector disappear, or a ghost cell entry would keep
+    // rejecting future copies. The probe wave proves the deletion is
+    // SEMANTICALLY real: exact copies of retracted vectors are
+    // re-judged against the retained store only (accepted unless a
+    // RETAINED near-dup at >= 0.4 cosine covers them), while copies
+    // of retained vectors still self-match and are rejected. The
+    // oracle rebuilds its spill index from the retained seed only, so
+    // a leftover ghost row (wrong rejection) or an over-delete (wrong
+    // acceptance) shifts the rollup and fails the hash. Centroids
+    // stay FROZEN through a retraction — geometry maintenance is
+    // q124's retrain, not a side effect of deletes.
+    Q("q123_semantic_index_retraction",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semretract"
+        val tbl = "graft_q123_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents,
+          graft.functions.DedupConfig.IndexBuckets, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        // ---- retract R = every 4th seeded vector (vec_id % 8 == 0):
+        // filtered rewrite of the store via the staged swap
+        val tombstones = seed.filter(col("vec_id") % 8 === 0)
+          .select("vec_id").localCheckpoint(true)
+        SemanticIndex.retract(h, tombstones)
+        // ---- probe wave: exact copies of RETRACTED vectors (now
+        // judged against retained neighbors only) + exact copies of
+        // RETAINED vectors (must still self-match and be rejected)
+        val wave = e.filter(col("vec_id") % 8 === 0)
+          .withColumn("vec_id", col("vec_id") + 600000L)
+          .unionByName(e.filter(col("vec_id") % 8 === 4)
+            .withColumn("vec_id", col("vec_id") + 700000L))
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, wave), 1, h.buckets)
+        SemanticIndex.rollup(h)
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+           |$semEallCte,
+           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+           |ret AS (SELECT vec_id, v, qv FROM sd WHERE vec_id % 8 <> 0),
+           |${semSpillCte("i0", "ret")},
+           |wave AS (
+           |  SELECT vec_id + 600000 AS vec_id, v, qv FROM eall WHERE vec_id % 8 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 700000, v, qv FROM eall WHERE vec_id % 8 = 4),
+           |${semProbeCte("p1", "wave")},
+           |${semWaveCte("p1", "i0", "dd1", "ac1")},
+           |committed AS (
+           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
+           |  UNION ALL SELECT 1, vec_id FROM ac1)
+           |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+           |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- CENTROID RETRAIN + REASSIGN — the maintenance half the
+    // frozen-centroid design defers to (q110's compaction analog for
+    // CELL GEOMETRY, closing the semantic lifecycle: build q120 /
+    // compact q122 / retract q123 / retrain here): after the epoch-1
+    // commit, fresh centroids are trained on the COMMITTED corpus
+    // (seed + acceptances — the corpus the frozen seed geometry no
+    // longer represents), every stored vector is spill-reassigned to
+    // the new cells (epoch provenance preserved — it is orthogonal to
+    // geometry), and the store is swapped crash-safely at a doubled
+    // bucket count. Wave 2 then probes the NEW frozen centroids; an
+    // in-gate replay of wave 1 against the retrained index must
+    // accept 0 (self-matches survive any geometry that spills each
+    // vector into its own crank-1 cell). The oracle replays BOTH
+    // trainings (lloydCtes' prefixed second chain), the reassignment,
+    // and wave 2 under the new geometry; the rollup adds per-epoch
+    // DISTINCT CELL COUNTS so the new geometry itself is hashed, not
+    // just membership. 100 TB: retraining is iters corpus scans with
+    // K·dim-row shuffles (the q114 shape); reassignment is the one
+    // paid bucketed rewrite, amortized over every later wave.
+    Q("q124_semantic_index_retrain",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semretrain"
+        val tbl = "graft_q124_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents0 = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents0,
+          nb, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        val w1 = e.filter(col("vec_id") % 20 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .withColumn("vec_id", col("vec_id") + 200000L))
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w1), 1, nb)
+        // ---- THE OPERATION UNDER TEST: retrain on the committed
+        // corpus, reassign the store to the new cells, swap; waves
+        // from here on probe the NEW frozen centroids
+        val h2 = SemanticIndex.retrainReassign(h, Off, 8, 3, nb * 2)
+        // replay proof: wave 1 under the NEW geometry accepts 0
+        val replayed = SemanticIndex.acceptWave(h2, w1).count()
+        require(replayed == 0L,
+          s"post-retrain replay of wave 1 accepted $replayed vectors; " +
+            "reassignment must preserve every committed self-match")
+        val w2 = e.filter(col("vec_id") % 20 === 11)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+          .unionByName(e.filter(col("vec_id") % 20 === 1)
+            .withColumn("vec_id", col("vec_id") + 400000L))
+        SemanticIndex.commit(h2, SemanticIndex.acceptWave(h2, w2), 2, nb * 2)
+        // geometry-visible rollup: per-epoch distinct cells hash the
+        // NEW cell assignment, not just membership
+        spark.table(tbl).groupBy(col("epoch"))
+          .agg(count_distinct(col("vec_id")).as("n_vecs"),
+            sum_distinct(col("vec_id")).as("sum_id"),
+            count_distinct(col("cell")).as("n_cells"))
+          .orderBy(col("epoch"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+           |$semEallCte,
+           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+           |${semSpillCte("i0", "sd")},
+           |w1 AS (
+           |  SELECT vec_id + 100000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 1
+           |  UNION ALL
+           |  SELECT vec_id + 200000, v, qv FROM eall WHERE vec_id % 10 = 0),
+           |${semProbeCte("p1", "w1")},
+           |${semWaveCte("p1", "i0", "dd1", "ac1")},
+           |cm AS (
+           |  SELECT 0 AS epoch, vec_id, v FROM (SELECT DISTINCT vec_id, v FROM i0)
+           |  UNION ALL SELECT 1, vec_id, v FROM ac1),
+           |${IvfKmeans.lloydCtes(8, 3, Dim, 4000L,
+              src = "(SELECT vec_id, v AS embedding FROM cm)", pfx = "r")},
+           |rsrc AS (
+           |  SELECT cm.epoch, cm.vec_id, cm.v, r.qv
+           |  FROM cm JOIN rq r ON r.vec_id = cm.vec_id),
+           |${IvfKmeans.spillAssignCte("ri", "rsrc", Dim, Seq("epoch", "v"),
+              cents = "rc3")},
+           |w2 AS (
+           |  SELECT vec_id + 300000 AS vec_id, v, qv FROM eall WHERE vec_id % 20 = 11
+           |  UNION ALL
+           |  SELECT vec_id + 400000, v, qv FROM eall WHERE vec_id % 20 = 1),
+           |${semProbeCte("p2", "w2", cents = "rc3")},
+           |${semWaveCte("p2", "ri", "dd2", "ac2")},
+           |${IvfKmeans.spillAssignCte("sp2", "(SELECT vec_id, v, qv FROM ac2)",
+              Dim, Seq("v"), cents = "rc3")},
+           |fin AS (SELECT epoch, vec_id, cell FROM ri
+           |        UNION ALL SELECT 2, vec_id, cell FROM sp2)
+           |SELECT epoch, count(DISTINCT vec_id) AS n_vecs,
+           |  CAST(sum(DISTINCT vec_id) AS BIGINT) AS sum_id,
+           |  count(DISTINCT cell) AS n_cells
+           |FROM fin GROUP BY epoch ORDER BY epoch""".stripMargin
       })
   )
 }

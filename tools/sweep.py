@@ -62,6 +62,14 @@ SLOW_ORACLE_TIMEOUT = {
     # two sequential wave replays, each an inline-cosine probe join
     # (~15M evals at sf1) — heavy but not quadratic in the corpus
     "q120_incremental_semantic_dedup": 900,
+    # q120's oracle plus (q122) nothing / (q123) a filtered index /
+    # (q124) a SECOND full Lloyd chain + reassignment — same cost class
+    "q122_semantic_index_compaction": 900,
+    "q123_semantic_index_retraction": 900,
+    "q124_semantic_index_retrain": 900,
+    # one corpus minhash signing + the CAPPED verify join (bounded
+    # candidates — the whole point); the signing CTEs dominate at sf1
+    "q121_dedup_lsh_hotcap": 900,
 }
 
 
