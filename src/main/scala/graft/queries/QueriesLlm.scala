@@ -3374,6 +3374,129 @@ object QueriesLlm {
            |  CAST(sum(DISTINCT vec_id) AS BIGINT) AS sum_id,
            |  count(DISTINCT cell) AS n_cells
            |FROM fin GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- RECALL-TARGETED OPERATING POINT: the config-from-measurement
+    // step a production ANN deployment performs on q117's ladder —
+    // q115/q117 MEASURE recall, this query CONSUMES the measurement.
+    // A held-out TUNING sample of probes (every 2nd probe, qid % 34)
+    // gets the exact ground truth and integer recall@5 numerators per
+    // nprobe level; the smallest level whose tuning recall meets the
+    // 50% floor (hits*100 >= n*50, integer on both engines; the max
+    // ladder level is the fallback if none qualifies) is selected —
+    // and the FULL probe workload is served at that operating point.
+    // The oracle re-derives the same nprobe from the same integer
+    // counts and the same served top-5, so a drift anywhere in
+    // measure -> select -> serve fails the hash. 100 TB: the exact
+    // O(q_t·n) leg runs ONLY over the tuning sample (you tune on a
+    // fixed-size sample, serve everything); the chosen point rides as
+    // a 1-row broadcast into the serving filter — no driver collect;
+    // serving itself is q117's shape (ONE candidate join at the
+    // widest level, narrower levels are filters).
+    Q("q125_ivf_operating_point",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val KC = 8; val Iters = 3; val Off = 4000L; val MaxProbe = 4
+        val FloorPct = 50
+        val q = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+        val cents = IvfKmeans.train(q, KC, Iters)
+        val assigned = IvfKmeans.assign(q, cents)
+          .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+          .localCheckpoint(true)
+        val probes = assigned.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("qv").as("pqv"))
+        val ranked = IvfKmeans.rankCells(probes, "pqv", cents, MaxProbe)
+        // ONE candidate join at the widest level for ALL probes; the
+        // tuning filters and the serving filter are both views of it
+        val cand = ranked.join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("dist", IvfKmeans.distL2(col("pqv"), col("qv")))
+          .select(col("qid"), col("vec_id"), col("dist"), col("crank"))
+          .localCheckpoint(true)
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        def tuneTop5(p: Int) = cand
+          .filter(col("qid") % 34 === 0 && col("crank") <= p)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        // exact ground truth ONLY over the tuning sample — the one
+        // deliberate O(q_t·n) pass, bounded by the sample size
+        val exactT = probes.filter(col("qid") % 34 === 0)
+          .join(assigned, col("vec_id") =!= col("qid"))
+          .withColumn("dist", IvfKmeans.distL2(col("pqv"), col("qv")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val totals = exactT
+          .join(tuneTop5(1).withColumn("h1", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .join(tuneTop5(2).withColumn("h2", lit(1)), Seq("qid", "vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("h1"), lit(0))).as("h1"),
+            sum(coalesce(col("h2"), lit(0))).as("h2"))
+        val chosen = totals.select(
+          when(col("h1") * 100 >= col("n") * FloorPct, 1)
+            .when(col("h2") * 100 >= col("n") * FloorPct, 2)
+            .otherwise(MaxProbe).as("nprobe"))
+        cand.crossJoin(chosen) // 1-row side -> broadcast
+          .filter(col("crank") <= col("nprobe"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("vec_id"), col("nprobe"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        def tuneAt(name: String, p: Int) =
+          s"""$name AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |    FROM cand WHERE qid % 34 = 0 AND crank <= $p)
+             |  WHERE rn <= 5)""".stripMargin
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
+           |${IvfKmeans.assignCte(3, Dim)},
+           |ps AS (SELECT vec_id AS qid, qv AS pqv FROM afin WHERE vec_id % 17 = 0),
+           |pc AS (
+           |  SELECT qid, pqv, cid AS cell, crank FROM (
+           |    SELECT p.qid, p.pqv, c.cid,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY ${IvfKmeans.distSql("p.pqv", "c.cqv", Dim)}, c.cid) AS crank
+           |    FROM ps p, c3 c)
+           |  WHERE crank <= 4),
+           |cand AS (
+           |  SELECT pc.qid, a.vec_id,
+           |    ${IvfKmeans.distSql("pc.pqv", "a.qv", Dim)} AS dist, pc.crank
+           |  FROM pc JOIN afin a ON a.cell = pc.cell AND a.vec_id <> pc.qid),
+           |exd AS (
+           |  SELECT p.qid, a.vec_id,
+           |    ${IvfKmeans.distSql("p.pqv", "a.qv", Dim)} AS dist
+           |  FROM ps p JOIN afin a ON a.vec_id <> p.qid
+           |  WHERE p.qid % 34 = 0),
+           |ex AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           |    FROM exd)
+           |  WHERE rn <= 5),
+           |${tuneAt("t1", 1)},
+           |${tuneAt("t2", 2)},
+           |tot AS (
+           |  SELECT count(*) AS n,
+           |    sum(CASE WHEN t1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+           |    sum(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h2
+           |  FROM ex
+           |  LEFT JOIN t1 ON t1.qid = ex.qid AND t1.vec_id = ex.vec_id
+           |  LEFT JOIN t2 ON t2.qid = ex.qid AND t2.vec_id = ex.vec_id),
+           |ch AS (
+           |  SELECT CASE WHEN h1 * 100 >= n * 50 THEN 1
+           |              WHEN h2 * 100 >= n * 50 THEN 2
+           |              ELSE 4 END AS nprobe
+           |  FROM tot)
+           |SELECT qid, rn, vec_id, nprobe FROM (
+           |  SELECT c.qid, c.vec_id, ch.nprobe,
+           |    row_number() OVER (PARTITION BY c.qid ORDER BY c.dist, c.vec_id) AS rn
+           |  FROM cand c, ch WHERE c.crank <= ch.nprobe)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
       })
   )
 }
