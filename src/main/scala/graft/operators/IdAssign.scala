@@ -55,11 +55,16 @@ object IdAssign {
     // the same total order however it is cut.
     val numbered = ranged.withColumn("__rn", row_number().over(wIn))
       .localCheckpoint(true)
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
+    // per-partition offsets: prefix sums over the partition-count
+    // frame (<= `parts` rows, a CONFIG-bounded size) via a broadcast
+    // triangular join — no single-partition window anywhere in the
+    // operator, so a WindowExec warning in a log always means a real
+    // hazard
+    val counts = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left_outer")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
     numbered.join(broadcast(offsets), "__pid")
       .withColumn(idCol, lit(offset) + col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")

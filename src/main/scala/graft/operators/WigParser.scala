@@ -50,15 +50,15 @@ object WigParser {
         regexp_extract(col("line"), "chrom=(\\S+)", 1).as("chrom"),
         regexp_extract(col("line"), "start=([0-9]+)", 1).cast("long").as("start"),
         regexp_extract(col("line"), "step=([0-9]+)", 1).cast("long").as("step"))
-    // one tiny window over declarations only: each governs up to the
-    // line before the next declaration (the final block is bounded by
-    // the max line id so its bin explosion stays finite)
+    // each declaration governs up to the line before the next one
+    // (the final block is bounded by the max line id so its bin
+    // explosion stays finite). Successor ids via the DISTRIBUTED lead
+    // (DistributedLead.withNext): declarations scale with file
+    // count/blocks, so no single-partition window even here
     val maxLine = lines.agg(max(col("line_id")).as("__max_line"))
-    val w = Window.orderBy(col("decl_id"))
-    val spans = decls
+    val spans = DistributedLead.withNext(decls, "decl_id", "next_id")
       .crossJoin(broadcast(maxLine))
-      .withColumn("next_id",
-        coalesce(lead(col("decl_id"), 1).over(w), col("__max_line") + 1))
+      .withColumn("next_id", coalesce(col("next_id"), col("__max_line") + 1))
       .withColumn("lo", col("decl_id") + 1)
       .withColumn("hi", col("next_id") - 1)
       .drop("next_id", "__max_line")

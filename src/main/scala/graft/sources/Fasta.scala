@@ -33,10 +33,12 @@ object Fasta {
     val headers = lines.filter(col("line").startsWith(">"))
       .select(col("line_id").as("h_id"),
         regexp_extract(col("line"), ">\\s*(\\S+)", 1).as("chr"))
-    val w = Window.orderBy(col("h_id"))
+    // successor header ids via the distributed lead (headers scale
+    // with file count — no single-partition window)
     val maxLine = lines.agg(max(col("line_id")).as("__max_line"))
-    val spans = headers.crossJoin(broadcast(maxLine))
-      .withColumn("next_id", coalesce(lead(col("h_id"), 1).over(w), col("__max_line") + 1))
+    val spans = graft.operators.DistributedLead.withNext(headers, "h_id", "next_id")
+      .crossJoin(broadcast(maxLine))
+      .withColumn("next_id", coalesce(col("next_id"), col("__max_line") + 1))
       .select(col("h_id"), col("chr"), (col("h_id") + 1).as("lo"), (col("next_id") - 1).as("hi"))
     val seqLines = lines.filter(!col("line").startsWith(">") && length(col("line")) > 0)
     val joined = graft.operators.RangeJoin.pointInInterval(
