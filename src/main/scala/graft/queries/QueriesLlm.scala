@@ -3284,8 +3284,11 @@ object QueriesLlm {
     // geometry), and the store is swapped crash-safely at a doubled
     // bucket count. Wave 2 then probes the NEW frozen centroids; an
     // in-gate replay of wave 1 against the retrained index must
-    // accept 0 (self-matches survive any geometry that spills each
-    // vector into its own crank-1 cell). The oracle replays BOTH
+    // re-accept 0 COMMITTED vectors (self-matches survive any
+    // geometry that spills each vector into its own crank-1 cell;
+    // previously-rejected borderline vectors may legitimately become
+    // acceptable when their blocker moves cells — see the in-gate
+    // note). The oracle replays BOTH
     // trainings (lloydCtes' prefixed second chain), the reassignment,
     // and wave 2 under the new geometry; the rollup adds per-epoch
     // DISTINCT CELL COUNTS so the new geometry itself is hashed, not
@@ -3320,11 +3323,23 @@ object QueriesLlm {
         // corpus, reassign the store to the new cells, swap; waves
         // from here on probe the NEW frozen centroids
         val h2 = SemanticIndex.retrainReassign(h, Off, 8, 3, nb * 2)
-        // replay proof: wave 1 under the NEW geometry accepts 0
-        val replayed = SemanticIndex.acceptWave(h2, w1).count()
-        require(replayed == 0L,
-          s"post-retrain replay of wave 1 accepted $replayed vectors; " +
-            "reassignment must preserve every committed self-match")
+        // replay proof, scoped to COMMITTED ids: no committed vector
+        // is re-accepted under the new geometry (its self-match
+        // survives any spill that includes the crank-1 cell). A
+        // previously-REJECTED wave-1 vector MAY legitimately become
+        // acceptable — its 0.4-cos blocker can land in a different
+        // cell under the new geometry (happens for 3 borderline
+        // vectors at sf0.1) — which is exactly why the idempotence
+        // contract of an index replay is "never duplicate an existing
+        // entry", not "reproduce old rejections".
+        val reAccepted = SemanticIndex.acceptWave(h2, w1)
+          .join(spark.table(tbl).select("vec_id").distinct(),
+            Seq("vec_id"), "left_semi")
+          .count()
+        require(reAccepted == 0L,
+          s"post-retrain replay of wave 1 re-accepted $reAccepted " +
+            "committed vectors; reassignment must preserve every " +
+            "committed self-match")
         val w2 = e.filter(col("vec_id") % 20 === 11)
           .withColumn("vec_id", col("vec_id") + 300000L)
           .unionByName(e.filter(col("vec_id") % 20 === 1)
