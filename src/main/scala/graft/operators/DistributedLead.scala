@@ -11,47 +11,65 @@ import org.apache.spark.sql.functions._
   * hazard once the frame grows (wig declarations and FASTA headers
   * scale with file count), and noisy either way (WindowExec warns per
   * instantiation, burying real single-partition hazards in the log).
-  * This is the distributed form, same shape as [[IdAssign]]'s
-  * two-level id assignment:
+  * The distributed form:
   *
-  *  1. range-repartition by `ord` — disjoint ordered ranges, so the
-  *     global successor of a row is either in its own partition or is
-  *     the minimum of a LATER partition;
-  *  2. per-partition `lead` over a PARTITIONED window (no warning, no
+  *  1. band rows by a DETERMINISTIC order-preserving function of the
+  *     value — `ord div ceil((max+1)/parts)` — so the global successor
+  *     of a row is either in its own band or is the minimum of a
+  *     later band. Deterministic banding (vs `repartitionByRange`,
+  *     whose sampled boundaries differ per evaluation) means every
+  *     consumer of this frame observes the SAME placement with no
+  *     materialization barrier: exchange reuse collapses the two
+  *     band-keyed subtrees below into one scan, and if the optimizer
+  *     ever declined, the result would still be correct — placement
+  *     is a pure function of the data;
+  *  2. per-band `lead` over a PARTITIONED window (no warning, no
   *     single-task sort of the whole frame);
-  *  3. each partition's boundary successor = min first-element of the
-  *     later partitions — a partition-count-sized frame joined back
-  *     broadcast. Empty range partitions simply contribute no row.
+  *  3. each band's boundary successor = min first-element of the
+  *     later bands — a band-count-sized frame joined back broadcast.
+  *     Empty bands (sparse ids) simply contribute no row.
   *
-  * The result is cut-invariant: ranges are disjoint and ordered, so
-  * however the RangePartitioner places boundaries, every row's global
-  * successor is the same. The input is materialized once
-  * (localCheckpoint) because the per-row lead and the boundary frame
-  * must observe the SAME partitioning (the sampler is seeded per-RDD;
-  * two evaluations may cut differently — IdAssign's reasoning).
-  *
-  * `ord` must be unique and non-null (both call sites use dense line
-  * ids). Output: the input columns plus `nextCol` (null for the
-  * globally-last row).
+  * `ord` must be unique, non-null, and >= 0 (both call sites use
+  * dense line ids). Output: the input columns plus `nextCol` (null
+  * for the globally-last row).
   */
 object DistributedLead {
   def withNext(df: DataFrame, ordCol: String, nextCol: String,
                numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, col(ordCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // deterministic banding means NO materialization barrier is
+    // needed for correctness — every evaluation places rows
+    // identically. The input is read by two branches (the banded rows
+    // and the ghost frame), so callers whose frame derives from an
+    // expensive scan should materialize it first (both call sites
+    // checkpoint their filter-of-text frames).
+    val mx = df.agg(max(col(ordCol)).as("__mx"))
+    val banded = df.crossJoin(broadcast(mx))
+      .withColumn("__pid",
+        expr(s"$ordCol DIV ((__mx DIV $parts) + 1)").cast("int"))
+      .drop("__mx")
+    // GHOSTS: each band's first element, copied into every EARLIER
+    // band (<= parts²/2 rows — config-bounded). Bands are value
+    // ranges, so within a band every ghost sorts strictly after every
+    // owned row: a non-last owned row's lead is the next owned row,
+    // and the last owned row's lead is the smallest ghost = the min
+    // first-element of the later bands = its global successor. Empty
+    // bands (sparse ids) need no special case — later firsts ghost
+    // straight past them. No boundary join, no broadcast build: the
+    // whole lead is one union + one partitioned window.
+    val others = df.columns.filterNot(_ == ordCol)
+    val ghosts0 = banded.groupBy(col("__pid")).agg(min(col(ordCol)).as(ordCol))
+      .filter(col("__pid") > 0)
+      .select(explode(sequence(lit(0), col("__pid") - 1)).as("__pid"), col(ordCol))
+      .withColumn("__owner", lit(false))
+    val ghosts = others.foldLeft(ghosts0)((g, c) =>
+      g.withColumn(c, lit(null).cast(df.schema(c).dataType)))
     val wIn = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
-    val firsts = ranged.groupBy(col("__pid")).agg(min(col(ordCol)).as("__first"))
-    val bounds = firsts.as("a")
-      .join(broadcast(firsts.as("b")), col("b.__pid") > col("a.__pid"), "left_outer")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(min(col("b.__first")).as("__boundary"))
-    ranged
-      .withColumn("__next", lead(col(ordCol), 1).over(wIn))
-      .join(broadcast(bounds), Seq("__pid"), "left_outer")
-      .withColumn(nextCol, coalesce(col("__next"), col("__boundary")))
-      .drop("__pid", "__next", "__boundary")
+    banded.withColumn("__owner", lit(true))
+      .unionByName(ghosts)
+      .withColumn(nextCol, lead(col(ordCol), 1).over(wIn))
+      .filter(col("__owner"))
+      .drop("__pid", "__owner")
   }
 }

@@ -50,6 +50,10 @@ object WigParser {
         regexp_extract(col("line"), "chrom=(\\S+)", 1).as("chrom"),
         regexp_extract(col("line"), "start=([0-9]+)", 1).cast("long").as("start"),
         regexp_extract(col("line"), "step=([0-9]+)", 1).cast("long").as("step"))
+      // materialized once: the distributed lead's branches (max,
+      // boundary frame, per-band lead) would otherwise each re-scan
+      // the full text for this tiny filtered frame
+      .localCheckpoint(true)
     // each declaration governs up to the line before the next one
     // (the final block is bounded by the max line id so its bin
     // explosion stays finite). Successor ids via the DISTRIBUTED lead

@@ -33,6 +33,9 @@ object Fasta {
     val headers = lines.filter(col("line").startsWith(">"))
       .select(col("line_id").as("h_id"),
         regexp_extract(col("line"), ">\\s*(\\S+)", 1).as("chr"))
+      // materialized once: the distributed lead's branches would
+      // otherwise each re-scan the full text for this tiny frame
+      .localCheckpoint(true)
     // successor header ids via the distributed lead (headers scale
     // with file count — no single-partition window)
     val maxLine = lines.agg(max(col("line_id")).as("__max_line"))
