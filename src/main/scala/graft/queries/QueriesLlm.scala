@@ -3110,7 +3110,10 @@ object QueriesLlm {
           .withColumn("doc_id", col("doc_id") + 100000L))
         // one signature pass feeds banding AND both verify sides
         val sig = signedDocs(corpus).localCheckpoint(true)
+        // materialized once: both sides of the self-join read the
+        // capped frame (the window pipeline would otherwise run twice)
         val capped = graft.functions.MinhashPipeline.capBands(sig, HotBucketCap)
+          .localCheckpoint(true)
         val cand = capped.as("a").join(capped.as("b"),
             col("a.bkey") === col("b.bkey") && col("a.grp") === col("b.grp") &&
               col("a.doc_id") < col("b.doc_id"))

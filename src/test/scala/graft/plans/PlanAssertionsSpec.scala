@@ -16,6 +16,25 @@ class PlanAssertionsSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q121: hot-bucket-capped band join — no all-pairs leg, exchanges keyed by band/group/pair only") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q121_dedup_lsh_hotcap")
+      // the whole point of the cap: no unbounded join shape anywhere
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      // the cap windows and the band self-join may key exchanges only
+      // by bkey(/grp); the verify joins by the candidate pair ids
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1))
+        .filterNot(k => k.contains("bkey") || k.contains("grp") ||
+          k.contains("doc_a") || k.contains("doc_b")).toList
+      assert(badKeys.isEmpty,
+        s"only bkey/grp/pair may key a hash exchange (found: $badKeys)\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q117/q118: nprobe search and spill-blocked dedup shuffle by cell only — no corpus broadcast") {
     // same discipline as q114: the trained index is materialized
     // behind localCheckpoints, so these are the SEARCH/BLOCKING plans.
