@@ -3515,6 +3515,133 @@ object QueriesLlm {
            |    row_number() OVER (PARTITION BY c.qid ORDER BY c.dist, c.vec_id) AS rn
            |  FROM cand c, ch WHERE c.crank <= ch.nprobe)
            |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // -- LSH PLANE-COUNT operating point: the corrective for q115's
+    // headline finding (single-table LSH at 0.05 recall@5 — 2^8
+    // buckets over ~2k vectors over-partitions, and `Planes` was a
+    // fixed constant nothing consumed). q125's measure→select→serve
+    // loop applied to the HYPERPLANE COUNT: coarser buckets are
+    // PREFIX MASKS of the 8-plane bucket (plane j contributes bit j),
+    // so the 4/6/8-plane candidate sets nest and ONE candidate join
+    // at the coarsest (4-plane) level serves every level — finer
+    // levels are bitmask FILTERS over it, the q117 pattern. A
+    // held-out tuning sample (qid % 34) pays the exact leg; the
+    // LARGEST plane count meeting the 50% recall floor wins (most
+    // selective buckets = cheapest serving; the 4-plane coarsest is
+    // the fallback — max recall the ladder offers); the FULL probe
+    // workload is served at the chosen width. 100 TB: bucket masks
+    // are map-side bit ops; the one candidate join shuffles by the
+    // coarse bucket; the chosen width rides as a 1-row broadcast —
+    // no driver collect; the exact O(q_t·n) leg is tuning-only.
+    Q("q126_lsh_operating_point",
+      (spark, dir) => {
+        val FloorPct = 50
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("b8", VF.lshBucket(col("v"), Planes, Dim))
+          .localCheckpoint(true) // probe side + corpus side + exact leg
+        val q = e.filter(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"), col("b8").as("qb8"))
+        val cand = q.join(e,
+            col("b8").bitwiseAND(lit(15L)) === col("qb8").bitwiseAND(lit(15L)) &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+          .withColumn("m6",
+            col("b8").bitwiseAND(lit(63L)) === col("qb8").bitwiseAND(lit(63L)))
+          .withColumn("m8", col("b8") === col("qb8"))
+          .select(col("qid"), col("vec_id"), col("sim_x1e6"), col("m6"), col("m8"))
+          .localCheckpoint(true) // three tuning views + the serving pass
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim_x1e6").desc, col("vec_id"))
+        def tuneTop5(pred: org.apache.spark.sql.Column) = cand
+          .filter(col("qid") % 34 === 0 && pred)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val exactT = q.filter(col("qid") % 34 === 0)
+          .join(e, col("vec_id") =!= col("qid"))
+          .withColumn("sim_x1e6",
+            VF.quantize1e6(VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val totals = exactT
+          .join(tuneTop5(col("m8")).withColumn("h8", lit(1)),
+            Seq("qid", "vec_id"), "left_outer")
+          .join(tuneTop5(col("m6")).withColumn("h6", lit(1)),
+            Seq("qid", "vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("h8"), lit(0))).as("h8"),
+            sum(coalesce(col("h6"), lit(0))).as("h6"))
+        val chosen = totals.select(
+          when(col("h8") * 100 >= col("n") * FloorPct, 8)
+            .when(col("h6") * 100 >= col("n") * FloorPct, 6)
+            .otherwise(4).as("n_planes"))
+        cand.crossJoin(chosen) // 1-row side -> broadcast
+          .filter(when(col("n_planes") === 8, col("m8"))
+            .when(col("n_planes") === 6, col("m6")).otherwise(lit(true)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("vec_id"), col("n_planes"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        def tuneAt(name: String, pred: String) =
+          s"""$name AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY sim_x1e6 DESC, vec_id) AS rn
+             |    FROM cand WHERE qid % 34 = 0 AND $pred)
+             |  WHERE rn <= 5)""".stripMargin
+        s"""WITH $embCte,
+           |eb AS (SELECT vec_id, v, ${bucketSql("v")} AS b8 FROM e),
+           |qb AS (SELECT vec_id AS qid, v AS qv, b8 AS qb8
+           |       FROM eb WHERE vec_id % 17 = 0),
+           |cand AS (
+           |  SELECT q.qid, e.vec_id,
+           |    CAST(floor((${cosSql("q.qv", "e.v")}) * 1e6) AS BIGINT) AS sim_x1e6,
+           |    (e.b8 & 63) = (q.qb8 & 63) AS m6,
+           |    e.b8 = q.qb8 AS m8
+           |  FROM qb q JOIN eb e
+           |    ON (e.b8 & 15) = (q.qb8 & 15) AND e.vec_id <> q.qid),
+           |exd AS (
+           |  SELECT q.qid, e.vec_id,
+           |    CAST(floor((${cosSql("q.qv", "e.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |  FROM qb q JOIN eb e ON e.vec_id <> q.qid
+           |  WHERE q.qid % 34 = 0),
+           |ex AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY sim_x1e6 DESC, vec_id) AS rn
+           |    FROM exd)
+           |  WHERE rn <= 5),
+           |${tuneAt("t8", "m8")},
+           |${tuneAt("t6", "m6")},
+           |tot AS (
+           |  SELECT count(*) AS n,
+           |    sum(CASE WHEN t8.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h8,
+           |    sum(CASE WHEN t6.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS h6
+           |  FROM ex
+           |  LEFT JOIN t8 ON t8.qid = ex.qid AND t8.vec_id = ex.vec_id
+           |  LEFT JOIN t6 ON t6.qid = ex.qid AND t6.vec_id = ex.vec_id),
+           |ch AS (
+           |  SELECT CASE WHEN h8 * 100 >= n * 50 THEN 8
+           |              WHEN h6 * 100 >= n * 50 THEN 6
+           |              ELSE 4 END AS n_planes
+           |  FROM tot)
+           |SELECT qid, rn, vec_id, n_planes FROM (
+           |  SELECT c.qid, c.vec_id, ch.n_planes,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY c.sim_x1e6 DESC, c.vec_id) AS rn
+           |  FROM cand c, ch
+           |  WHERE CASE WHEN ch.n_planes = 8 THEN c.m8
+           |             WHEN ch.n_planes = 6 THEN c.m6
+           |             ELSE TRUE END)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
       })
   )
 }

@@ -70,6 +70,8 @@ SLOW_ORACLE_TIMEOUT = {
     # one corpus minhash signing + the CAPPED verify join (bounded
     # candidates — the whole point); the signing CTEs dominate at sf1
     "q121_dedup_lsh_hotcap": 900,
+    # tuning-sample exact leg (~q115's shape) + the coarse-bucket join
+    "q126_lsh_operating_point": 900,
 }
 
 
