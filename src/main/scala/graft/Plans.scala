@@ -18,8 +18,9 @@ object Plans {
         "q114_ivf_lifecycle", "q115_ann_recall", "q116_multimodal_decode",
         "q117_ivf_nprobe", "q118_semantic_dedup_ivf",
         "q119_semantic_dedup_pipeline", "q120_incremental_semantic_dedup",
-        "q121_dedup_lsh_hotcap", "q125_ivf_operating_point",
-        "q126_lsh_operating_point")
+        "q121_dedup_lsh_hotcap", "q122_semantic_index_compaction",
+        "q123_semantic_index_retraction", "q124_semantic_index_retrain",
+        "q125_ivf_operating_point", "q126_lsh_operating_point")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   * `ord` must be unique, non-null, and >= 0 (both call sites use
   * dense line ids). Output: the input columns plus `nextCol` (null
   * for the globally-last row).
+  *
+  * UNIFORMITY ASSUMPTION: bands are uniform VALUE ranges of `ord`, so
+  * the skew protection holds only for roughly uniform ord
+  * distributions — a frame whose ids cluster in a narrow slice of
+  * [0, max] lands in few bands and degenerates back toward a
+  * single-task window. Both call sites satisfy this by construction
+  * (dense, gap-free line ids from `monotonically_increasing_id`
+  * re-ranked per file / `zipWithIndex`-style numbering). A caller
+  * with genuinely skewed ids should first densify ord (e.g. a
+  * distributed rank) rather than band raw values.
   */
 object DistributedLead {
   def withNext(df: DataFrame, ordCol: String, nextCol: String,

@@ -99,11 +99,18 @@ object SemanticIndex {
     * rows of each tombstoned vector disappear, so no ghost cell entry
     * can reject a future wave. Run at an epoch barrier; at 100 TB the
     * same tombstone frame can instead be anti-joined per wave until
-    * the next compaction physically purges it (q112's note). */
-  def retract(h: Handle, tombstones: DataFrame): Unit =
+    * the next compaction physically purges it (q112's note).
+    *
+    * `buckets` must match the table's CURRENT bucket spec, same as
+    * [[commit]]: an external `Bucketed.compact` (q122) grows the
+    * bucket count without updating the Handle, so a retract keyed off
+    * stale `h.buckets` would silently shrink the spec back. Callers
+    * that never compacted pass nothing (defaults to `h.buckets`). */
+  def retract(h: Handle, tombstones: DataFrame,
+              buckets: Int = -1): Unit =
     graft.sources.Bucketed.replaceWith(h.spark, h.table,
       h.spark.table(h.table).join(tombstones, Seq("vec_id"), "left_anti"),
-      h.buckets, Seq("cell"), h.path)
+      if (buckets > 0) buckets else h.buckets, Seq("cell"), h.path)
 
   /** The DISTINCT committed vectors of the store with their quantized
     * coordinates recomputed from the stored doubles (bit-identical to

@@ -2167,12 +2167,28 @@ object QueriesLlm {
         // how many docs the commit added (0 on a replayed epoch OR a
         // commit-level retry)
         def commitEpoch(epoch: Int): Long = {
-          // glob over the per-batch dirs: each globbed dir is its own
+          // enumerate the per-batch dirs with the Hadoop FS API, NOT a
+          // `batch=*` glob: FileStreamSink.hasMetadata stats the
+          // literal glob string, catches the FileNotFoundException,
+          // and logs the full stack trace at WARN — 4 crash-lookalike
+          // traces per bench pass (one became the visible tail of the
+          // r10 driver bench artifact). Each listed dir is its own
           // base path, so no `batch` partition column is inferred and
           // a zero-accept batch (dir with no part files) reads empty
-          // under the explicit schema
-          val staged = spark.read.schema(stagedSchema)
-            .parquet(s"$root/stage_$epoch/batch=*")
+          // under the explicit schema — glob semantics, no traces.
+          val stageDir = new org.apache.hadoop.fs.Path(s"$root/stage_$epoch")
+          val sfs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val batchDirs =
+            if (!sfs.exists(stageDir)) Array.empty[String]
+            else sfs.listStatus(stageDir)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+              .map(_.getPath.toString).sorted
+          val staged =
+            if (batchDirs.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema)
+            else spark.read.schema(stagedSchema)
+              .parquet(batchDirs.toIndexedSeq: _*)
           // commit is idempotent INDEPENDENTLY of staging: only docs
           // not already committed are appended, so a driver retry
           // between stream completion and commit — or a double
@@ -3083,10 +3099,12 @@ object QueriesLlm {
     // truncation is the wrong fix — on the copy-dense scale-ups the
     // hot buckets hold exactly the exact-copy families, so truncation
     // cuts the true duplicates (measured before this design: 3/29
-    // pairs at sf0.01). Instead a hot bucket SPLITS by full-signature
-    // hash (MinhashPipeline.capBands): copy families — identical
-    // signatures — keep generating their pairs; differing-signature
-    // boilerplate collisions are separated; a per-group cap of the
+    // pairs at sf0.01). Instead a hot bucket SPLITS by content
+    // fingerprint — a fold of the sorted shingle-hash list
+    // (MinhashPipeline.capBands; signature-hash splitting was measured
+    // and rejected there — 572 docs shared 8 signatures): copy
+    // families — identical shingle SETS — keep generating their pairs;
+    // differing-content boilerplate collisions are separated; a per-group cap of the
     // HotBucketCap lowest doc_ids (deterministic tie-break, replayed
     // by the oracle) is the hard bound, so a hot bucket costs
     // O(m·cap), not O(m²). The gate PLANTS exact copies (the q40

@@ -26,6 +26,9 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import cache_key  # noqa: E402 — shared key derivation
+
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard", "q44_knn_bruteforce",
     "q45_knn_lsh", "q46_dedup_embedding", "q52_dedup_clusters",
@@ -77,10 +80,8 @@ SLOW_ORACLE_TIMEOUT = {
 
 def primed(cache_dir, sf_dir, sql):
     """True iff check.py's run_oracle would hit the cache for this
-    oracle — key derivation imported from check.py so the two can
-    never silently drift."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from check import cache_key
+    oracle — key derivation imported from check.py (module scope) so
+    the two can never silently drift."""
     return os.path.exists(f"{cache_dir}/{cache_key(sf_dir, sql)}.parquet")
 
 
