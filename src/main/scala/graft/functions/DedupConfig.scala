@@ -31,9 +31,11 @@ object DedupConfig {
 
   /** Hot-bucket threshold/cap for the LSH band join
     * ([[MinhashPipeline.capBands]]): a band bucket above this size is
-    * SPLIT by full-signature hash (identical-signature copy families
-    * keep generating their pairs; differing-signature boilerplate
-    * collisions are separated), and each split group is capped at
+    * SPLIT by content fingerprint — a fold of the sorted shingle-hash
+    * list (identical shingle-SET copy families keep generating their
+    * pairs; differing-content boilerplate collisions are separated;
+    * signature-hash splitting was measured and rejected, see
+    * capBands' doc), and each split group is capped at
     * this many lowest-doc_id members as the hard bound. 32 comfortably
     * exceeds the corpora's true-duplicate family sizes (~10-20 exact
     * copies at the gen_sf scale-ups), so intra-family pairs survive

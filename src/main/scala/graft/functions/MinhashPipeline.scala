@@ -33,6 +33,58 @@ object MinhashPipeline {
     .filter(col("sz") > 0)
     .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
 
+  /** Word-bigram signing — the PRODUCTION shingle granularity (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better":
+    * shingle on word n-grams; char 3-grams keep inter-document Jaccard
+    * high on ANY corpus because real text shares the common trigrams).
+    * Elements are hashed `tok tok` bigram strings (q92's scheme); `hl`
+    * is kept SORTED so verify is the native allocation-free two-pointer
+    * `sorted_inter_count`. One definition for q108 (uncapped band
+    * self-join) and q127 (hot-bucket-controlled form) so a retune can
+    * never drift the two apart; [[minhashWordCtes]] is the oracle
+    * mirror. Output (doc_id, hl, sz, sig) — [[signedDocs]]'s shape
+    * minus `lang`, so [[bandKeysOf]]/[[capBands]] compose unchanged. */
+  def signedDocsWord(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), sort_array(array_distinct(
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
+          element_at(col("t"), i + 1)))))).as("hl"))
+    .withColumn("sz", size(col("hl")).cast("long"))
+    .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+
+  /** DuckDB CTE block replaying the WORD-BIGRAM derivation of
+    * [[signedDocsWord]] + [[bandKeysOf]] for `src` (doc_id, text) under
+    * `prefix` — emits `{prefix}docs(doc_id, hl, sz)` and
+    * `{prefix}bands(doc_id, bkey)`, the same contract as
+    * [[minhashCtes]], so [[capBandsCte]] composes on either
+    * granularity. */
+  def minhashWordCtes(prefix: String, src: String): String = {
+    val sigCols = (0 until K).map(i =>
+      s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % ${TF.MinhashPrime})) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"SELECT doc_id, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}docs AS (
+       |  SELECT doc_id, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
+       |    SELECT doc_id, list_distinct(list_transform(
+       |      [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)],
+       |      s -> list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split_regex(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (acc, x) -> (acc * 31 + x) % ${TF.HashMod}))) AS hl
+       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |          FROM $src)
+       |    WHERE len(t) >= 2)),
+       |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}docs),
+       |${prefix}bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** Exploded LSH band keys combined into ONE collision-free long
     * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
     * single-column bucket spec == single-column join key. Input needs

@@ -38,8 +38,9 @@ object QueriesLlm {
   // signedDocs / bandKeysOf / minhashCtes / verifiedDupCte — the
   // shared minhash front end + oracle mirrors — live in
   // functions/MinhashPipeline (one definition for q99/q108/q109/q110)
-  import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, minhashCtes,
-    verifiedDupCte, verifiedDupPairs, acceptAgainstIndex}
+  import graft.functions.MinhashPipeline.{signedDocs, signedDocsWord,
+    bandKeysOf, minhashCtes, minhashWordCtes, verifiedDupCte,
+    verifiedDupPairs, acceptAgainstIndex}
 
   /** The two-sequential-waves epoch-dedup oracle, shared VERBATIM by
     * q109 (streaming path) and q110 (batch path with a mid-pipeline
@@ -391,25 +392,17 @@ object QueriesLlm {
     // char 3-grams on the same corpus at sf0.1).
     Q("q108_dedup_minhash_word",
       (spark, dir) => {
-        val base = table(spark, dir, "documents")
-          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), sort_array(array_distinct(
-            transform(sequence(lit(1), size(col("t")) - 1),
-              i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
-                element_at(col("t"), i + 1)))))).as("hl"))
-          .withColumn("sz", size(col("hl")).cast("long"))
-          .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
-          // band self-join consumes both sides — materialize the
-          // signature pass once (the q41/q82 rule)
+        // the shared word-bigram front end (MinhashPipeline — one
+        // definition for this uncapped BASELINE and q127's
+        // hot-bucket-controlled production form); band self-join
+        // consumes both sides — materialize the signature pass once
+        // (the q41/q82 rule)
+        val base = signedDocsWord(table(spark, dir, "documents"))
           .localCheckpoint(true)
-        val bands = base.select(col("doc_id"), col("sz"), col("hl"),
-          posexplode(array((0 until Bands).map(b =>
-            TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
+        val bands = bandKeysOf(base, passthru = Seq("sz", "hl"))
         bands.as("a")
           .join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_key") === col("b.band_key") &&
+            col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id") &&
               sizeRatioOk(col("a.sz"), col("b.sz")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -424,42 +417,18 @@ object QueriesLlm {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val sigCols = (0 until K).map(i =>
-          s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
-          .mkString(",\n    ")
-        val bandSelects = (0 until Bands).map { b =>
-          val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
-            .reduce((acc, m) => s"($acc * 31 + $m)")
-          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigt"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH bg AS (
-           |  SELECT doc_id, list_distinct(list_transform(
-           |    [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)],
-           |    s -> list_reduce(
-           |      list_prepend(CAST(0 AS BIGINT),
-           |        list_transform(string_split_regex(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-           |      (acc, x) -> (acc * 31 + x) % $P))) AS hl
-           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-           |        FROM documents)
-           |  WHERE len(t) >= 2),
-           |sigt AS (
-           |  SELECT doc_id,
-           |    $sigCols
-           |  FROM bg),
-           |bands AS (
-           |  $bandSelects),
+        s"""WITH ${minhashWordCtes("w", "documents")},
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |    AND a.doc_id < b.doc_id)
+           |  FROM wbands a JOIN wbands b
+           |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b, jacc_x1000 FROM (
            |  SELECT c.doc_a, c.doc_b,
            |    (len(list_intersect(x.hl, y.hl)) * 1000)
            |      // len(list_distinct(list_concat(x.hl, y.hl))) AS jacc_x1000
            |  FROM cand c
-           |  JOIN bg x ON x.doc_id = c.doc_a
-           |  JOIN bg y ON y.doc_id = c.doc_b)
+           |  JOIN wdocs x ON x.doc_id = c.doc_a
+           |  JOIN wdocs y ON y.doc_id = c.doc_b)
            |WHERE jacc_x1000 >= $JaccThreshold
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
@@ -3660,6 +3629,260 @@ object QueriesLlm {
            |             WHEN ch.n_planes = 6 THEN c.m6
            |             ELSE TRUE END)
            |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // -- HOT-BUCKET CONTROL AT PRODUCTION GRANULARITY: q121's
+    // content-fingerprint split + per-group cap applied to the
+    // WORD-BIGRAM band join (q108's family — the granularity a real
+    // training-data pipeline runs at). q108 stayed the last uncapped
+    // band self-join in the engine (engine-only sf1: 242.8 s,
+    // artifacts/r10_engine_sf1.json — the same boilerplate pathology
+    // q121 fixed for char 3-grams); MinhashPipeline.capBands is
+    // granularity-agnostic, so the production path is the identical
+    // operator over signedDocsWord. The gate PLANTS exact copies
+    // (doc_id % 7 under +100000) so copy-pair survival through hot
+    // buckets is proven at this granularity too; the oracle replays
+    // the full word-bigram derivation (minhashWordCtes) and the cap
+    // (capBandsCte) in SQL. 100 TB: identical posture to q121 — both
+    // cap windows partition by bkey(, grp), candidate generation
+    // costs ONE exchange, a hot bucket costs O(m·cap) not O(m²).
+    // Reference anchor: VariantLoad3.java:483-495 cache-size
+    // discipline (bound the in-flight candidate set, never the
+    // corpus).
+    Q("q127_dedup_word_hotcap",
+      (spark, dir) => {
+        import graft.functions.DedupConfig.HotBucketCap
+        val d = table(spark, dir, "documents").select("doc_id", "text")
+        val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        // one signature pass feeds banding AND both verify sides
+        val sig = signedDocsWord(corpus).localCheckpoint(true)
+        // materialized once: both sides of the self-join read the
+        // capped frame (the window pipeline would otherwise run twice)
+        val capped = graft.functions.MinhashPipeline.capBands(sig, HotBucketCap)
+          .localCheckpoint(true)
+        val cand = capped.as("a").join(capped.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.grp") === col("b.grp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sig.select(col("doc_id").as("doc_a"),
+            col("hl").as("hl_a"), col("sz").as("sz_a")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"),
+            col("hl").as("hl_b"), col("sz").as("sz_b")), "doc_b")
+          .filter(sizeRatioOk(col("sz_a"), col("sz_b")))
+          .withColumn("inter",
+            call_function("sorted_inter_count", col("hl_a"), col("hl_b")))
+          .withColumn("jacc_x1000",
+            expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
+          .filter(col("jacc_x1000") >= JaccThreshold)
+          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        import graft.functions.DedupConfig.HotBucketCap
+        import graft.functions.MinhashPipeline.capBandsCte
+        s"""WITH cp AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+           |${minhashWordCtes("c", "cp")},
+           |${capBandsCte("c", HotBucketCap)},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ccap a JOIN ccap b
+           |    ON a.bkey = b.bkey AND a.grp = b.grp AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jacc_x1000 FROM (
+           |  SELECT c.doc_a, c.doc_b,
+           |    CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT) * 1000
+           |      // (x.sz + y.sz - CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT))
+           |      AS jacc_x1000
+           |  FROM cand c
+           |  JOIN cdocs x ON x.doc_id = c.doc_a
+           |  JOIN cdocs y ON y.doc_id = c.doc_b
+           |  WHERE least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7)
+           |WHERE jacc_x1000 >= $JaccThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // -- DRIFT-TRIGGERED RETRAIN: the measure -> select -> serve
+    // discipline (q125/q126) applied to index MAINTENANCE. q124
+    // proves retrain+reassign is correct; this gate decides WHEN it
+    // pays: after every commit the engine measures cell-occupancy
+    // skew on the committed store (max cell rows vs mean — the
+    // integer a hot cell inflates, and the quantity that directly
+    // prices probe-time candidate lists), and retrains ONLY when
+    // max_rows * n_cells * 2 >= total_rows * 3 (max >= 1.5x mean).
+    // BOTH branches are exercised and oracle-replayed in one
+    // lifecycle: wave 1 is in-distribution growth (trigger HOLDS —
+    // wave 2 provably probes the ORIGINAL centroids; a spurious
+    // retrain would shift its accept set and fail the hash), wave 2
+    // is a planted drifted source — every vector rides a 5x anchor
+    // component, so the whole wave crowds into the anchor's Voronoi
+    // cone (trigger FIRES; the engine re-requires it), and wave 3
+    // probes the post-retrain geometry. The decision integers
+    // (max/total/cells/fired, steps 1-3) are hashed alongside the
+    // per-epoch rollup, and the oracle re-derives the same signal
+    // from the same store, so a drift anywhere in
+    // measure -> decide -> retrain fails the gate. The signal read
+    // is a 1-row O(store-scan) aggregate collected to the driver —
+    // maintenance control flow, not a data path (the q109 commit-loop
+    // genre). 100 TB: the skew read piggybacks on store statistics,
+    // the retrain itself is q124's shape, and the trigger bounds how
+    // often that cost is paid — cadence from measurement, not cron.
+    // Reference anchor: VariantLoad3.java:483-495 (bound the hot
+    // structure, then rebuild — cache-size discipline as a measured
+    // trigger rather than a constant schedule).
+    Q("q128_semantic_drift_retrain",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semdrift"
+        val tbl = "graft_q128_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents0 = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents0,
+          nb, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        // the drift signal: occupancy skew over ALL store rows (spill
+        // included — spill rows are what a probe actually scans)
+        def skew(): (Long, Long, Long) = {
+          val r = spark.table(tbl).groupBy(col("cell"))
+            .agg(count(lit(1)).as("n"))
+            .agg(max(col("n")), sum(col("n")), count(lit(1))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        // wave 1: in-distribution growth -> trigger must HOLD
+        val w1 = e.filter(col("vec_id") % 20 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w1), 1, nb)
+        val (mx1, tot1, nc1) = skew()
+        val fire1 = mx1 * nc1 * 2 >= tot1 * 3
+        require(!fire1, s"drift trigger fired on in-distribution " +
+          s"growth ($mx1 rows max cell, $tot1 total over $nc1 cells)")
+        // wave 2: planted drifted source — 5x anchor component sends
+        // the whole wave into one Voronoi cone. Anchor = lowest
+        // never-committed vector (vec_id % 20 = 3), a 1-row broadcast.
+        val anchor = e.filter(col("vec_id") % 20 === 3)
+          .orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+        val w2 = e.filter(col("vec_id") % 4 === 3)
+          .crossJoin(broadcast(anchor)) // 1-row side -> broadcast
+          .withColumn("v", zip_with(col("v"), col("av"),
+            (x, a) => x + a * lit(5)))
+          .withColumn("qv", transform(col("v"),
+            x => floor(x * 1000).cast("long") + lit(Off)))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("vec_id", col("vec_id") + 200000L)
+          .select("vec_id", "v", "qv", "nrm")
+        SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w2), 2, nb)
+        val (mx2, tot2, nc2) = skew()
+        val fire2 = mx2 * nc2 * 2 >= tot2 * 3
+        require(fire2, s"drift trigger held after the drifted wave " +
+          s"($mx2 rows max cell, $tot2 total over $nc2 cells)")
+        // the decision: retrain fires ONLY because the signal crossed
+        val h2 = if (fire2) SemanticIndex.retrainReassign(h, Off, 8, 3, nb * 2)
+                 else h
+        val (mx3, tot3, nc3) = skew() // post-retrain read (informational)
+        val fire3 = mx3 * nc3 * 2 >= tot3 * 3
+        // wave 3 probes whatever geometry the decision produced
+        val w3 = e.filter(col("vec_id") % 20 === 11)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+        SemanticIndex.commit(h2, SemanticIndex.acceptWave(h2, w3), 3, nb * 2)
+        // hashed output: decision rows (step 1-3: n_max/n_total =
+        // occupancy max/total) + per-epoch rollup rows (step 10+epoch:
+        // n_max/n_total = n_vecs/sum_id) on the final geometry
+        import spark.implicits._
+        val dec = Seq(
+          (1L, mx1, tot1, nc1, if (fire1) 1L else 0L),
+          (2L, mx2, tot2, nc2, if (fire2) 1L else 0L),
+          (3L, mx3, tot3, nc3, if (fire3) 1L else 0L))
+          .toDF("step", "n_max", "n_total", "n_cells", "fired")
+        val roll = spark.table(tbl)
+          .select(col("epoch"), col("vec_id"), col("cell")).distinct()
+          .groupBy(col("epoch"))
+          .agg(count_distinct(col("vec_id")).as("n_max"),
+            sum_distinct(col("vec_id")).as("n_total"),
+            count_distinct(col("cell")).as("n_cells"))
+          .select((col("epoch") + 10).cast("long").as("step"),
+            col("n_max"), col("n_total"), col("n_cells"),
+            lit(0L).as("fired"))
+        dec.unionByName(roll).orderBy(col("step"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        val fireSql = "CASE WHEN max(n) * count(*) * 2 >= sum(n) * 3 " +
+          "THEN 1 ELSE 0 END"
+        def dSql(step: Int, occ: String) =
+          s"""SELECT CAST($step AS BIGINT) AS step,
+             |  max(n) AS n_max, CAST(sum(n) AS BIGINT) AS n_total,
+             |  count(*) AS n_cells, CAST($fireSql AS BIGINT) AS fired
+             |FROM $occ""".stripMargin
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+           |$semEallCte,
+           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+           |${semSpillCte("i0", "sd")},
+           |w1 AS (SELECT vec_id + 100000 AS vec_id, v, qv FROM eall
+           |       WHERE vec_id % 20 = 1),
+           |${semProbeCte("p1", "w1")},
+           |${semWaveCte("p1", "i0", "dd1", "ac1")},
+           |${semSpillCte("sp1", "ac1")},
+           |occ1 AS (SELECT cell, count(*) AS n FROM (
+           |  SELECT cell FROM i0 UNION ALL SELECT cell FROM sp1) GROUP BY cell),
+           |i1 AS (SELECT vec_id, v, cell FROM i0
+           |       UNION ALL SELECT vec_id, v, cell FROM sp1),
+           |an AS (SELECT v AS av FROM eall WHERE vec_id % 20 = 3
+           |       ORDER BY vec_id LIMIT 1),
+           |w2 AS (
+           |  SELECT e.vec_id + 200000 AS vec_id,
+           |    [e.v[i] + an.av[i] * 5 FOR i IN generate_series(1, $Dim)] AS v,
+           |    [CAST(floor((e.v[i] + an.av[i] * 5) * 1000) AS BIGINT) + 4000
+           |     FOR i IN generate_series(1, $Dim)] AS qv
+           |  FROM eall e, an WHERE e.vec_id % 4 = 3),
+           |${semProbeCte("p2", "w2")},
+           |${semWaveCte("p2", "i1", "dd2", "ac2")},
+           |${semSpillCte("sp2", "ac2")},
+           |occ2 AS (SELECT cell, count(*) AS n FROM (
+           |  SELECT cell FROM i0 UNION ALL SELECT cell FROM sp1
+           |  UNION ALL SELECT cell FROM sp2) GROUP BY cell),
+           |cm AS (
+           |  SELECT 0 AS epoch, vec_id, v FROM (SELECT DISTINCT vec_id, v FROM i0)
+           |  UNION ALL SELECT 1, vec_id, v FROM ac1
+           |  UNION ALL SELECT 2, vec_id, v FROM ac2),
+           |${IvfKmeans.lloydCtes(8, 3, Dim, 4000L,
+              src = "(SELECT vec_id, v AS embedding FROM cm)", pfx = "r")},
+           |rsrc AS (
+           |  SELECT cm.epoch, cm.vec_id, cm.v, r.qv
+           |  FROM cm JOIN rq r ON r.vec_id = cm.vec_id),
+           |${IvfKmeans.spillAssignCte("ri", "rsrc", Dim, Seq("epoch", "v"),
+              cents = "rc3")},
+           |occ3 AS (SELECT cell, count(*) AS n FROM ri GROUP BY cell),
+           |w3 AS (SELECT vec_id + 300000 AS vec_id, v, qv FROM eall
+           |       WHERE vec_id % 20 = 11),
+           |${semProbeCte("p3", "w3", cents = "rc3")},
+           |${semWaveCte("p3", "ri", "dd3", "ac3")},
+           |${IvfKmeans.spillAssignCte("sp3", "(SELECT vec_id, v, qv FROM ac3)",
+              Dim, Seq("v"), cents = "rc3")},
+           |fin AS (SELECT epoch, vec_id, cell FROM ri
+           |        UNION ALL SELECT 3, vec_id, cell FROM sp3),
+           |roll AS (
+           |  SELECT CAST(epoch + 10 AS BIGINT) AS step,
+           |    count(DISTINCT vec_id) AS n_max,
+           |    CAST(sum(DISTINCT vec_id) AS BIGINT) AS n_total,
+           |    count(DISTINCT cell) AS n_cells, CAST(0 AS BIGINT) AS fired
+           |  FROM fin GROUP BY epoch)
+           |SELECT * FROM (
+           |  ${dSql(1, "occ1")} UNION ALL ${dSql(2, "occ2")}
+           |  UNION ALL ${dSql(3, "occ3")} UNION ALL SELECT * FROM roll)
+           |ORDER BY step""".stripMargin
       })
   )
 }
