@@ -21,7 +21,8 @@ object Plans {
         "q121_dedup_lsh_hotcap", "q122_semantic_index_compaction",
         "q123_semantic_index_retraction", "q124_semantic_index_retrain",
         "q125_ivf_operating_point", "q126_lsh_operating_point",
-        "q127_dedup_word_hotcap", "q128_semantic_drift_retrain")
+        "q127_dedup_word_hotcap", "q128_semantic_drift_retrain",
+        "q129_semantic_threshold_point")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -37,6 +37,9 @@ object Prof {
     // for q88/q99/q104 (the r7 enriched-corpus comparison) and exits;
     // with no arg the full stage profile below runs as before.
     if (args.contains("family")) { profFamily(spark, docs); spark.stop(); return }
+    // `runMain graft.Prof attrib` -> per-stage split of the two big
+    // engine-sf1 rows VERDICT r10 flagged as unattributed (q58, q52)
+    if (args.contains("attrib")) { profAttrib(spark, docs); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -173,6 +176,69 @@ object Prof {
       println(s"PROF   q41w cand rows: ${wcand.count()}"))
 
     spark.stop()
+  }
+
+  /** Per-stage attribution for q58_multimodal_embed and
+    * q52_dedup_clusters — the two engine-only sf1 rows VERDICT r10
+    * listed as recorded-but-unexplained. Each stage is forced in
+    * isolation (count/localCheckpoint barriers) so the dominant cost
+    * is a measured fact, not an inference: q58 splits decode/feature
+    * extraction (linear) from the brute-force O(q·n) score+top-k leg
+    * (the deliberate baseline; production path = IVF/LSH blocking);
+    * q52 splits shingle+bitmap build (linear) from the lang-blocked
+    * all-pairs verify (the deliberate exact baseline; production
+    * path = q88's banded pipeline) from the component iterations. */
+  private def profAttrib(spark: SparkSession,
+                         docs: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.functions.{VectorFunctions => VF}
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // ---- q58: decode/feature-extract vs brute-force top-k
+    val hist = (0 until 8).map(b =>
+      s"size(filter(codes, c -> c div 16 = $b))").mkString(", ")
+    val e58 = time("q58 feature extract")(docs
+      .selectExpr("doc_id",
+        "transform(split(text, ''), c -> ascii(c)) AS codes")
+      .selectExpr("doc_id", s"CAST(array($hist) AS array<double>) AS v")
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(true))
+    val q58 = e58.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = broadcast(q58).join(e58, col("doc_id") =!= col("qid"))
+      .withColumn("sim_x1e6",
+        VF.quantize1e6(VF.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    time("q58 brute score O(q*n)")(
+      println(s"PROF   q58 scored rows: ${scored.count()}"))
+    val w58 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim_x1e6").desc, col("doc_id"))
+    time("q58 top-k window")(
+      scored.withColumn("rn", row_number().over(w58))
+        .filter(col("rn") <= 3).count())
+
+    // ---- q52: bitmap build vs all-pairs verify vs components
+    val sh52 = docs.select(col("doc_id"), col("lang"),
+      TF.shingles(col("text"), 3).as("sh"))
+    val bm = time("q52 shingle+bitmap build")(
+      graft.operators.SetSimJoin.withBitmap(sh52, "doc_id", "sh")
+        .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
+        .localCheckpoint(true))
+    val pairs52 = bm.as("a").join(broadcast(bm.as("b")),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          sizeRatioOk(col("a.sz"), col("b.sz")))
+      .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
+        col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
+      .filter(col("jacc_x1000") >= JaccThreshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val edges = time("q52 all-pairs verify")(pairs52.localCheckpoint(true))
+    println(s"PROF   q52 edge rows: ${edges.count()}")
+    time("q52 connected components")(
+      graft.operators.ConnectedComponents.components(edges, "doc_a", "doc_b")
+        .count())
   }
 
   /** Candidate-stage counts for the dedup-family gates that compose

@@ -3883,6 +3883,181 @@ object QueriesLlm {
            |  ${dSql(1, "occ1")} UNION ALL ${dSql(2, "occ2")}
            |  UNION ALL ${dSql(3, "occ3")} UNION ALL SELECT * FROM roll)
            |ORDER BY step""".stripMargin
+      }),
+
+    // -- SEMANTIC-DEDUP THRESHOLD OPERATING POINT: the last fixed
+    // constant in the LLM family becomes a measured choice. The
+    // 0.4-cosine accept threshold q120/q122-q124 serve at was a
+    // constant nothing validated; here the q125/q126 discipline is
+    // applied to it: PLANT labeled pairs against the seed index —
+    // true near-dups (stored vectors plus a 0.25x/1.0x perturbation
+    // component; the 1.0x group lands near cos 0.7, so strict
+    // thresholds visibly pay recall) and hard negatives (fresh
+    // vectors riding a 0.5x component of a COMMITTED vector — the
+    // borderline-correlated distinct content that sits at cos ~0.5)
+    // — measure integer TP/FP at a threshold ladder
+    // {0.40, 0.55, 0.70}, select the LOWEST threshold meeting a 95%
+    // precision floor (reject as much true duplication as possible
+    // without dropping distinct content; strictest as fallback), and
+    // SERVE a mixed ingest wave at the chosen point. The ladder
+    // counts, the chosen threshold, and the served accept set are all
+    // hashed; the oracle re-derives all three, so a drift anywhere in
+    // measure -> select -> serve fails the gate. Selection is
+    // corpus-dependent by design (0.55 on the driver corpora; 0.70 at
+    // sf0.1 where denser hard negatives push FP at 0.55 over the
+    // floor) — both engines agree because the decision is integer
+    // cross-multiplication. 100 TB: the labeled probe set is
+    // fixed-size (tuning rides on a sample, serving on everything),
+    // maxcos is ONE cell-keyed join per probe set against the
+    // 2x-spilled index (acceptWave's exact shape), and the chosen
+    // threshold rides as a 1-row broadcast into the serving filter —
+    // no driver collect anywhere. Reference anchor:
+    // VariantXdbIdLoad.java:73-123 (match-threshold discipline on
+    // external-id joins: the accept criterion is data, not code).
+    Q("q129_semantic_threshold_point",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        import org.apache.spark.sql.{Column, DataFrame}
+        val Off = 4000L; val FloorPct = 95
+        val Ladder = Seq(400000L, 550000L, 700000L)
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        // in-memory 2x-spill index (q118's shape — the operating
+        // point is CONFIG, not state; the persistent-store lifecycle
+        // is q120/q122-q124's job)
+        val idx = IvfKmeans.rankCells(
+            seed.select("vec_id", "v", "nrm", "qv"), "qv", cents, 2)
+          .select(col("cell"), col("v").as("iv"), col("nrm").as("inrm"))
+          .localCheckpoint(true)
+        // acceptWave's probe shape: crank-1 cell, max cosine against
+        // the cell's index entries; -1 = empty cell (never a dup)
+        def maxCos(probe: DataFrame): DataFrame =
+          IvfKmeans.rankCells(
+              probe.select("vec_id", "v", "nrm", "qv"), "qv", cents, 1)
+            .join(idx, Seq("cell"), "left_outer")
+            .groupBy(col("vec_id"))
+            .agg(coalesce(max(VF.quantize1e6(VF.dot(col("v"), col("iv"))
+              / (col("nrm") * col("inrm")))), lit(-1L)).as("mc"))
+        def remix(src: DataFrame, comp: DataFrame, compCol: String,
+                  eps: Column, offset: Long): DataFrame = src
+          .crossJoin(broadcast(comp)) // 1-row side -> broadcast
+          .withColumn("eps", eps)
+          .withColumn("v", zip_with(col("v"), col(compCol),
+            (x, p) => x + p * col("eps")))
+          .withColumn("qv", transform(col("v"),
+            x => floor(x * 1000).cast("long") + lit(Off)))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("vec_id", col("vec_id") + offset)
+          .select("vec_id", "v", "qv", "nrm")
+        val partner = e.filter(col("vec_id") % 20 === 3)
+          .orderBy(col("vec_id")).limit(1).select(col("v").as("pv"))
+        val anchorC = seed.orderBy(col("vec_id")).limit(1)
+          .select(col("v").as("acv"))
+        // labeled tuning probes: id < 600000 = true dup, else distinct
+        val pos = remix(e.filter(col("vec_id") % 10 === 0), partner, "pv",
+          when(expr("(vec_id DIV 10) % 2 = 0"), lit(0.25)).otherwise(lit(1.0)),
+          500000L)
+        val neg = remix(e.filter(col("vec_id") % 20 === 7), anchorC, "acv",
+          lit(0.5), 600000L)
+        val mc = maxCos(pos.unionByName(neg)).localCheckpoint(true)
+        import spark.implicits._
+        val counts = mc.crossJoin(broadcast(Ladder.toDF("t")))
+          .groupBy(col("t")).agg(
+            sum(when(col("vec_id") < 600000L && col("mc") >= col("t"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("vec_id") >= 600000L && col("mc") >= col("t"), 1L)
+              .otherwise(0L)).as("fp"))
+          .localCheckpoint(true)
+        val chosen = counts.agg(coalesce(
+          min(when(col("tp") * 100 >= (col("tp") + col("fp")) * FloorPct,
+            col("t"))), lit(Ladder.last)).as("ct"))
+        // serve a mixed ingest wave at the chosen point: plain fresh
+        // vectors + borderline-correlated mixtures whose fate DEPENDS
+        // on the selection — a selection drift shifts the accept set
+        val fresh = e.filter(col("vec_id") % 20 === 9)
+          .withColumn("vec_id", col("vec_id") + 700000L)
+          .select("vec_id", "v", "qv", "nrm")
+        val border = remix(e.filter(col("vec_id") % 20 === 13), anchorC,
+          "acv", lit(0.5), 800000L)
+        val served = maxCos(fresh.unionByName(border))
+          .crossJoin(chosen) // 1-row side -> broadcast
+          .filter(col("mc") < col("ct"))
+          .select(lit("accept").as("sect"), col("vec_id").as("id"),
+            lit(0L).as("n1"), lit(0L).as("n2"))
+        counts.select(lit("ladder").as("sect"), col("t").as("id"),
+            col("tp").as("n1"), col("fp").as("n2"))
+          .unionByName(chosen.select(lit("chosen").as("sect"),
+            col("ct").as("id"), lit(0L).as("n1"), lit(0L).as("n2")))
+          .unionByName(served)
+          .orderBy(col("sect"), col("id"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        def mixSql(where: String, comp: String, compCol: String,
+                   eps: String, offset: Long) =
+          s"""SELECT e.vec_id + $offset AS vec_id,
+             |  [e.v[i] + $compCol[i] * ($eps) FOR i IN generate_series(1, $Dim)] AS v,
+             |  [CAST(floor((e.v[i] + $compCol[i] * ($eps)) * 1000) AS BIGINT) + 4000
+             |   FOR i IN generate_series(1, $Dim)] AS qv
+             |FROM eall e, $comp WHERE $where""".stripMargin
+        s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
+           |$semEallCte,
+           |sd AS (SELECT vec_id, v, qv FROM eall WHERE vec_id % 2 = 0),
+           |${semSpillCte("idx", "sd")},
+           |pn AS (SELECT v AS pv FROM eall WHERE vec_id % 20 = 3
+           |       ORDER BY vec_id LIMIT 1),
+           |ac AS (SELECT v AS acv FROM eall WHERE vec_id % 2 = 0
+           |       ORDER BY vec_id LIMIT 1),
+           |tune AS (
+           |  ${mixSql("e.vec_id % 10 = 0", "pn", "pn.pv",
+                "CASE WHEN (e.vec_id // 10) % 2 = 0 THEN 0.25 ELSE 1.0 END",
+                500000L)}
+           |  UNION ALL
+           |  ${mixSql("e.vec_id % 20 = 7", "ac", "ac.acv", "0.5", 600000L)}),
+           |${semProbeCte("tp1", "tune")},
+           |mc AS (
+           |  SELECT p.vec_id,
+           |    COALESCE(MAX(CAST(floor((${cosSql("p.v", "i.v")}) * 1e6)
+           |      AS BIGINT)), -1) AS mc
+           |  FROM tp1 p LEFT JOIN idx i ON i.cell = p.cell
+           |  GROUP BY p.vec_id),
+           |ladder AS (SELECT CAST(400000 AS BIGINT) AS t
+           |           UNION ALL SELECT 550000 UNION ALL SELECT 700000),
+           |counts AS (
+           |  SELECT t,
+           |    CAST(sum(CASE WHEN vec_id < 600000 AND mc >= t
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN vec_id >= 600000 AND mc >= t
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp
+           |  FROM mc, ladder GROUP BY t),
+           |chosen AS (
+           |  SELECT COALESCE(MIN(CASE WHEN tp * 100 >= (tp + fp) * 95
+           |    THEN t END), 700000) AS ct FROM counts),
+           |serve AS (
+           |  SELECT vec_id + 700000 AS vec_id, v, qv FROM eall
+           |  WHERE vec_id % 20 = 9
+           |  UNION ALL
+           |  ${mixSql("e.vec_id % 20 = 13", "ac", "ac.acv", "0.5", 800000L)}),
+           |${semProbeCte("sp1", "serve")},
+           |smc AS (
+           |  SELECT p.vec_id,
+           |    COALESCE(MAX(CAST(floor((${cosSql("p.v", "i.v")}) * 1e6)
+           |      AS BIGINT)), -1) AS mc
+           |  FROM sp1 p LEFT JOIN idx i ON i.cell = p.cell
+           |  GROUP BY p.vec_id)
+           |SELECT * FROM (
+           |  SELECT 'ladder' AS sect, t AS id, tp AS n1, fp AS n2 FROM counts
+           |  UNION ALL
+           |  SELECT 'chosen', ct, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM chosen
+           |  UNION ALL
+           |  SELECT 'accept', s.vec_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  FROM smc s, chosen ch WHERE s.mc < ch.ct)
+           |ORDER BY sect, id""".stripMargin
       })
   )
 }
