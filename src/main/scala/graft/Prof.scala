@@ -40,6 +40,10 @@ object Prof {
     // `runMain graft.Prof attrib` -> per-stage split of the two big
     // engine-sf1 rows VERDICT r10 flagged as unattributed (q58, q52)
     if (args.contains("attrib")) { profAttrib(spark, docs); spark.stop(); return }
+    // `runMain graft.Prof wordcap` -> q127 hot-bucket quality numbers
+    // (capped vs uncapped candidates/pairs + planted-copy recall) at
+    // the word-bigram granularity, engine-side
+    if (args.contains("wordcap")) { profWordcap(spark, docs); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -176,6 +180,65 @@ object Prof {
       println(s"PROF   q41w cand rows: ${wcand.count()}"))
 
     spark.stop()
+  }
+
+  /** q127 hot-bucket quality at WORD-BIGRAM granularity, engine-side
+    * (the r10_hotcap_quality.json method, Spark instead of DuckDB —
+    * the uncapped DuckDB verify is exactly what's infeasible beyond
+    * sf0.01 on the degenerate driver vocabulary: abandoned at 2h wall
+    * at sf0.1 in r11). Prints candidates/verified pairs for the
+    * uncapped (q108) and capped (q127) forms on the SAME
+    * planted-copy corpus, plus planted-pair survival. */
+  private def profWordcap(spark: SparkSession,
+                          docs: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.functions.MinhashPipeline.{signedDocsWord, bandKeysOf, capBands}
+    import graft.functions.DedupConfig.HotBucketCap
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+    val sig = time("word signing")(signedDocsWord(corpus).localCheckpoint(true))
+    val planted = sig.select(col("doc_id")).filter(col("doc_id") >= 100000L).count()
+    def verify(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(sig.select(col("doc_id").as("doc_a"),
+        col("hl").as("hl_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"),
+        col("hl").as("hl_b"), col("sz").as("sz_b")), "doc_b")
+      .filter(sizeRatioOk(col("sz_a"), col("sz_b")))
+      .withColumn("inter",
+        call_function("sorted_inter_count", col("hl_a"), col("hl_b")))
+      .withColumn("jacc_x1000", expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
+      .filter(col("jacc_x1000") >= JaccThreshold)
+    def plantedKept(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .filter(col("doc_b") === col("doc_a") + 100000L &&
+        col("doc_a") % 7 === 0).count()
+    // capped form (q127)
+    val capped = time("capBands")(
+      capBands(sig, HotBucketCap).localCheckpoint(true))
+    val candC = capped.as("a").join(capped.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.grp") === col("b.grp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().localCheckpoint(true)
+    val nCandC = time("capped candidates")(candC.count())
+    val pairsC = time("capped verify")(verify(candC).localCheckpoint(true))
+    println(s"PROF   capped: cands=$nCandC pairs=${pairsC.count()} " +
+      s"planted_kept=${plantedKept(pairsC)}/$planted")
+    // uncapped form (q108's shape on the planted corpus)
+    val bands = bandKeysOf(sig, passthru = Seq("sz", "hl"))
+    val candU = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().localCheckpoint(true)
+    val nCandU = time("uncapped candidates")(candU.count())
+    val pairsU = time("uncapped verify")(verify(candU).localCheckpoint(true))
+    println(s"PROF   uncapped: cands=$nCandU pairs=${pairsU.count()} " +
+      s"planted_kept=${plantedKept(pairsU)}/$planted")
   }
 
   /** Per-stage attribution for q58_multimodal_embed and

@@ -75,6 +75,20 @@ SLOW_ORACLE_TIMEOUT = {
     "q121_dedup_lsh_hotcap": 900,
     # tuning-sample exact leg (~q115's shape) + the coarse-bucket join
     "q126_lsh_operating_point": 900,
+    # q121's story at word granularity: the CAP is what makes this
+    # oracle feasible at all — the uncapped sibling (q108)'s sf0.1
+    # DuckDB verify was abandoned after 2h wall / 245 CPU-min in r11,
+    # while q127's capped oracle passed the same corpus in ~40s. At
+    # sf1 the word-bigram signing CTEs dominate (per-bigram char-fold
+    # hashes); candidates stay bounded by construction.
+    "q127_dedup_word_hotcap": 900,
+    # two full Lloyd chains + three wave replays — q124's cost class
+    "q128_semantic_drift_retrain": 900,
+    # one Lloyd chain + two inline-cosine probe joins — q120's class
+    "q129_semantic_threshold_point": 900,
+    # the centroid-assignment cross join is n^2/101 rows of 8-dim
+    # cosine (25x cheaper per row than q53's 64-dim, which IS skipped)
+    "q130_multimodal_ann": 900,
 }
 
 
