@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // written by the throttle probe's spin so the JIT can't eliminate it
+  @volatile private var probeSink: Long = 0L
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       s"${graft.queries.Fixtures.testdataRoot}/sf0.1")
@@ -52,9 +54,31 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
+    /** Host-throttle probe: a fixed single-thread spin timed in BOTH
+      * wall and thread-CPU nanoseconds; the ratio (wall/cpu, "stretch")
+      * is ~1.0 on an unthrottled box and grows when the hypervisor
+      * deschedules the whole VM — interference that guest loadavg and
+      * steal counters CANNOT see (measured r11: a fixed sleep(8) took
+      * 12.9 s wall at loadavg 0.2, and the same query swung 124 s -> 4 s
+      * across 20 min on an "idle" box). Runs OUTSIDE the timed query
+      * section, like loadavg(); ~30 ms/call, self-normalizing under
+      * JIT (interpretation slows wall and cpu together). */
+    def stretch(): Double =
+      try {
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+        val c0 = mx.getCurrentThreadCpuTime
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L ^ t0
+        var i = 0
+        while (i < 30000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        probeSink = x
+        val cpu = (mx.getCurrentThreadCpuTime - c0).toDouble
+        if (cpu > 0) (System.nanoTime() - t0) / cpu else -1.0
+      } catch { case _: Throwable => -1.0 }
     val results = selected.map { q =>
       val samples = (1 to runs).map { _ =>
         val la = loadavg()
+        val st = stretch()
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch { case e: Throwable =>
           // stderr, so the stdout JSON line stays parseable — but never
@@ -65,7 +89,7 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        (dt, la)
+        (dt, la, st)
       }
       q.name -> samples
     }
@@ -76,6 +100,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(_._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val stretches = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(s => f"${s._3}%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
     // Contention self-identification in the HEADLINE: r10's driver
@@ -89,6 +116,9 @@ object Bench {
     val allLoads = results.flatMap(_._2.map(_._2)).filter(_ >= 0)
     val laMean = if (allLoads.nonEmpty) allLoads.sum / allLoads.size else -1.0
     val laMax = if (allLoads.nonEmpty) allLoads.max else -1.0
+    val allStretch = results.flatMap(_._2.map(_._3)).filter(_ >= 0)
+    val stMean = if (allStretch.nonEmpty) allStretch.sum / allStretch.size else -1.0
+    val stMax = if (allStretch.nonEmpty) allStretch.max else -1.0
     val (spreadQ, spreadSec) = results
       .map { case (k, v) => (k, v.map(_._1).max - v.map(_._1).min) }
       .sortBy(-_._2).headOption.getOrElse(("none", 0.0))
@@ -99,10 +129,12 @@ object Bench {
     // in the detail file.
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       f""""loadavg_mean":$laMean%.2f,"loadavg_max":$laMax%.2f,""" +
+      f""""stretch_mean":$stMean%.2f,"stretch_max":$stMax%.2f,""" +
       f""""spread_max_query":"$spreadQ","spread_max_sec":$spreadSec%.2f,""" +
       s""""sf":"$sfDir"}""")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":$qs,"all_runs":$allRuns,"loadavg":$loads,"sf":"$sfDir"}"""
+      s""""queries":$qs,"all_runs":$allRuns,"loadavg":$loads,""" +
+      s""""stretch":$stretches,"sf":"$sfDir"}"""
     // absolute path: a run from another working directory must not
     // scatter the detail file, and a failed write must say so
     val detailPath = s"${graft.queries.Fixtures.scratchRoot}/bench_now.json"

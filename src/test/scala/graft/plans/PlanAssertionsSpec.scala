@@ -164,4 +164,47 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rn <= k should push below the window sort\n" + p)
     assert(p.contains("array_dot"), "cosine should use the native expression\n" + p)
   }
+
+  test("q127: word-granularity capped band join — q121's shape at production granularity") {
+    // the whole point of extending the cap to the word-bigram family:
+    // the uncapped q108 pathology (O(m^2) hot buckets) must be gone
+    // from the PRODUCTION path's plan the same way it is from q121's
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q127_dedup_word_hotcap")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1))
+        .filterNot(k => k.contains("bkey") || k.contains("grp") ||
+          k.contains("doc_a") || k.contains("doc_b")).toList
+      assert(badKeys.isEmpty,
+        s"only bkey/grp/pair may key a hash exchange (found: $badKeys)\n" + p)
+      assert(p.contains("sorted_inter_count"),
+        "verify must be the native two-pointer intersect\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q130: multimodal ANN search joins by cell only — one broadcast centroid leg, no corpus re-key") {
+    // assignment is materialized behind a localCheckpoint, so this is
+    // the SEARCH plan: probe rows join candidates on their assigned
+    // cell, then the per-query top-k window. The n/101-row centroid
+    // table is the ONE deliberate broadcast (explicit broadcast() —
+    // still honored with the threshold forced off); the corpus itself
+    // may only be re-keyed by cell or qid.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q130_multimodal_ann")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "cell join must be a shuffled equi-join\n" + p)
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1))
+        .filterNot(k => k.contains("cell") || k.contains("qid")).toList
+      assert(badKeys.isEmpty,
+        s"only cell/qid may key a hash exchange (found: $badKeys)\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
