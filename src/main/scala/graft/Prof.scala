@@ -203,7 +203,12 @@ object Prof {
     val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 100000L))
     val sig = time("word signing")(signedDocsWord(corpus).localCheckpoint(true))
-    val planted = sig.select(col("doc_id")).filter(col("doc_id") >= 100000L).count()
+    // one guaranteed exact-copy pair (a, a+100000) per planted doc.
+    // Count the PLANTING predicate, not "doc_id >= 100000": gen_sf
+    // corpora key-shift their copies by 1e6·k, so an id-range test
+    // counts those as planted and inflates the denominator (the sf1
+    // 7143/52143 artifact — actual recall was 7143/7143).
+    val planted = d.filter(col("doc_id") % 7 === 0).count()
     def verify(cand: org.apache.spark.sql.DataFrame) = cand
       .join(sig.select(col("doc_id").as("doc_a"),
         col("hl").as("hl_a"), col("sz").as("sz_a")), "doc_a")
