@@ -22,7 +22,8 @@ object Plans {
         "q123_semantic_index_retraction", "q124_semantic_index_retrain",
         "q125_ivf_operating_point", "q126_lsh_operating_point",
         "q127_dedup_word_hotcap", "q128_semantic_drift_retrain",
-        "q129_semantic_threshold_point", "q130_multimodal_ann")
+        "q129_semantic_threshold_point", "q130_multimodal_ann",
+        "q131_semantic_hotcell_cap")
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -44,6 +44,10 @@ object Prof {
     // (capped vs uncapped candidates/pairs + planted-copy recall) at
     // the word-bigram granularity, engine-side
     if (args.contains("wordcap")) { profWordcap(spark, docs); spark.stop(); return }
+    // `runMain graft.Prof semcap` -> q131 hot-cell quality numbers
+    // (capped vs uncapped candidates/pairs, planted-copy recall, flood
+    // pair bound) on the planted-flood embedding corpus, engine-side
+    if (args.contains("semcap")) { profSemcap(spark, sfDir); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -244,6 +248,79 @@ object Prof {
     val pairsU = time("uncapped verify")(verify(candU).localCheckpoint(true))
     println(s"PROF   uncapped: cands=$nCandU pairs=${pairsU.count()} " +
       s"planted_kept=${plantedKept(pairsU)}/$planted")
+  }
+
+  /** q131's quality evidence at any SF, engine-side (the wordcap
+    * pattern on the semantic family): capped-vs-uncapped candidate and
+    * verified-pair counts over the SAME planted corpus — exact copies
+    * (vec_id % 7, +100000: must survive) plus a FLOOD (a full
+    * boilerplate mirror of the base corpus at +200000: must be
+    * bounded; sized to cross the 1.5x-mean hot line at every SF). The uncapped form is q118's spill-blocked join; the
+    * capped form is q131's. flood_pairs is the direct read of the
+    * bound: C(flood, 2)-scale uncapped, C(cap, 2)-scale capped. */
+  private def profSemcap(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.IvfKmeans
+    import graft.functions.{VectorFunctions => VF}
+    import graft.functions.DedupConfig.HotBucketCap
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val Off = 4000L; val Thresh = 400000L; val Kc = 8
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val anchor = base.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("ae"))
+    val planted = base.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val flood = base
+      .crossJoin(broadcast(anchor))
+      .select((col("vec_id") + 200000L).as("vec_id"), col("ae").as("embedding"))
+    val corpus = base.unionByName(planted).unionByName(flood)
+    val e = corpus.select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"),
+        IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(true)
+    val nPlanted = planted.count()
+    val floodIds = flood.select(col("vec_id")).localCheckpoint(true)
+    val cents = time("train")(
+      IvfKmeans.train(e.select(col("vec_id"), col("qv")), Kc, 3)
+        .localCheckpoint(true))
+    val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
+      .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell"))
+      .localCheckpoint(true)
+    def pairStats(kind: String, frame: org.apache.spark.sql.DataFrame,
+                  keys: Seq[String]): Unit = {
+      val a = frame.select(keys.map(col) :+ col("vec_id").as("vec_a"): _*)
+      val b = frame.select(keys.map(col) :+ col("vec_id").as("vec_b"): _*)
+      val cand = a.join(b, keys).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val n = time(s"$kind candidates")(cand.count())
+      val pairs = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "vec_b")
+        .withColumn("sim",
+          VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("sim") >= Thresh)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint(true)
+      val np = time(s"$kind verify")(pairs.count())
+      val kept = pairs.filter(col("vec_b") === col("vec_a") + 100000L &&
+        col("vec_a") % 7 === 0).count()
+      val fp = pairs.join(floodIds.select(col("vec_id").as("vec_a")), "vec_a")
+        .join(floodIds.select(col("vec_id").as("vec_b")), "vec_b").count()
+      println(s"PROF   $kind: cands=$n pairs=$np " +
+        s"planted_kept=$kept/$nPlanted flood_pairs=$fp")
+    }
+    pairStats("capped",
+      IvfKmeans.capCells(spilled, Kc, HotBucketCap).localCheckpoint(true),
+      Seq("cell", "grp"))
+    pairStats("uncapped", spilled, Seq("cell"))
   }
 
   /** Per-stage attribution for q58_multimodal_embed and

@@ -165,6 +165,84 @@ object IvfKmeans {
       .distinct()
   }
 
+  /** HOT-CELL CONTROL for the spill-blocked candidate join —
+    * [[graft.functions.MinhashPipeline.capBands]]'s discipline on the
+    * SEMANTIC family. A cell of m index rows contributes m·(m-1)/2
+    * candidate pairs, and a degenerate source (boilerplate embeddings:
+    * thousands of EXACT copies of one vector) floods a single Voronoi
+    * cell no matter how the centroids move — retraining (q124/q128)
+    * fixes cells that are hot because K is stale, but copies co-locate
+    * under ANY geometry, so the ingest path needs its own bound.
+    * Two-level rule, mirroring the band cap:
+    *  - a cell is HOT iff its occupancy exceeds
+    *    `max(cap, 1.5 × mean occupancy)` — the same 1.5×-mean line
+    *    q128's drift trigger fires on, so the two responses to a hot
+    *    cell (split-and-cap at ingest, retrain at the barrier) key off
+    *    ONE measured signal. The mean rides in as a 1-row broadcast
+    *    (no unpartitioned window, no driver collect).
+    *  - inside a hot cell, rows split by CONTENT FINGERPRINT of the
+    *    quantized vector (fold of `qv`): exact-copy families — the
+    *    flood — stay co-grouped and their pairs survive (capped at the
+    *    `cap` lowest vec_ids, the hard O(m·cap) bound for monster
+    *    families); everything else in the hot cell becomes a singleton
+    *    group and generates no candidates. A hot cell thus degrades
+    *    gracefully from NEAR-dup to EXACT(-quantized)-dup detection,
+    *    exactly the capBands tradeoff.
+    *  - COLD cells are untouched (grp = 0, no row cap): their pair
+    *    cost is bounded by the 1.5×-mean occupancy line, which is
+    *    what K (via retrain) controls.
+    * Input: a [[rankCells]] spill frame carrying (vec_id, qv, cell);
+    * output adds `grp` — self-join on (cell, grp). Both windows
+    * partition by cell(, grp), the candidate join's own shuffle key,
+    * so candidate generation still costs one exchange.
+    * [[capCellsCte]] is the oracle mirror. */
+  def capCells(spilled: DataFrame, k: Int, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{TextFunctions => TF}
+    val tot = spilled.agg(count(lit(1)).as("tot")) // 1 row -> broadcast
+    val cw = Window.partitionBy(col("cell"))
+    spilled.crossJoin(broadcast(tot))
+      .withColumn("hthr",
+        greatest(lit(cap.toLong), expr(s"(tot * 3) DIV ${2 * k}")))
+      .withColumn("sg", aggregate(col("qv"), lit(0L),
+        (a, x) => (a * 31 + x) % TF.HashMod))
+      .withColumn("grp",
+        when(count(lit(1)).over(cw) > col("hthr"), col("sg"))
+          .otherwise(lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"), col("grp")).orderBy(col("vec_id"))))
+      .filter(col("grp") === 0L || col("rn") <= cap)
+      .drop("sg", "rn", "tot", "hthr")
+  }
+
+  /** [[spillPairs]] with [[capCells]] dropped between spill assignment
+    * and the candidate self-join — the PRODUCTION form for corpora
+    * that may carry embedding floods (the q121/q127 pattern on the
+    * semantic family). Same contract: (vec_a, vec_b, sim_x1e6),
+    * vec_a < vec_b, DISTINCT. */
+  def cappedSpillPairs(e: DataFrame, cents: DataFrame, threshX1e6: Long,
+                       k: Int, cap: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    // materialized once: the capped frame feeds both sides of the
+    // candidate self-join (the cap windows would otherwise run twice)
+    val capped = capCells(
+        rankCells(e, "qv", cents, 2)
+          .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell")),
+        k, cap)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("grp"))
+      .localCheckpoint(true)
+    val a = capped.select(col("cell"), col("grp"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = capped.select(col("cell"), col("grp"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell", "grp")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim_x1e6",
+        VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("sim_x1e6") >= threshX1e6)
+      .select(col("vec_a"), col("vec_b"), col("sim_x1e6"))
+      .distinct()
+  }
+
   /** `iters` Lloyd iterations from the id-seeded centroids. Each
     * iteration's K-row centroid frame is materialized
     * (localCheckpoint) — K·dim longs, and without it iteration t's
@@ -261,6 +339,32 @@ object IvfKmeans {
        |    CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
        |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) >= $threshX1e6)""".stripMargin
+
+  /** Oracle mirror of [[capCells]] over a spill CTE `$sp` carrying
+    * (vec_id, qv, cell) — emits `${sp}cap(vec_id, cell, grp)`. The
+    * fingerprint folds `qv` in its natural dim order (a vector is a
+    * sequence, not a set — no sort, unlike capBandsCte's hl fold);
+    * the hot threshold re-derives the same
+    * `max(cap, 1.5 × mean occupancy)` line from a scalar count. */
+  def capCellsCte(sp: String, k: Int, cap: Int): String =
+    s"""${sp}g AS (
+       |  SELECT vec_id, cell,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+       |      (a, x) -> (a * 31 + x) % ${graft.functions.TextFunctions.HashMod}) AS sg
+       |  FROM $sp),
+       |${sp}thr AS (SELECT greatest($cap, (count(*) * 3) // ${2 * k}) AS h
+       |             FROM $sp),
+       |${sp}cap AS (
+       |  SELECT vec_id, cell, grp FROM (
+       |    SELECT vec_id, cell, grp,
+       |      row_number() OVER (PARTITION BY cell, grp ORDER BY vec_id) AS rn
+       |    FROM (
+       |      SELECT g.vec_id, g.cell,
+       |        CASE WHEN count(*) OVER (PARTITION BY g.cell) >
+       |                  (SELECT h FROM ${sp}thr)
+       |             THEN g.sg ELSE 0 END AS grp
+       |      FROM ${sp}g g))
+       |  WHERE grp = 0 OR rn <= $cap)""".stripMargin
 
   /** Final-assignment CTE against `c$iters` → `afin` (vec_id, qv,
     * cell). Append after [[lloydCtes]]. */

@@ -4153,6 +4153,95 @@ object QueriesLlm {
            |          ORDER BY sim_x1e6 DESC, doc_id) AS rn
            |      FROM cand)
            |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // -- HOT-CELL CONTROL FOR THE SEMANTIC FAMILY: q121/q127 bound the
+    // minhash band join's hot buckets at both shingle granularities;
+    // this gate bounds the third candidate generator — the
+    // IVF-spill-blocked join (q118's shape). A degenerate embedding
+    // source (boilerplate: thousands of EXACT copies of one vector)
+    // floods a single Voronoi cell under ANY centroid geometry —
+    // retraining (q124/q128) fixes cells that are hot because K went
+    // stale, but copies co-locate forever, so the ingest path needs
+    // its own bound. IvfKmeans.capCells: a cell is HOT iff occupancy
+    // exceeds max(cap, 1.5x mean) — the SAME 1.5x-mean line q128's
+    // drift trigger fires on, so split-and-cap at ingest and retrain
+    // at the barrier key off one measured signal (the mean rides as a
+    // 1-row broadcast; no unpartitioned window, no driver collect);
+    // hot cells split by content fingerprint of the quantized vector
+    // (copy families co-grouped, capped at the cap lowest vec_ids —
+    // O(m·cap)), everything else in a hot cell pairs with nothing;
+    // COLD cells are untouched. The gate PLANTS both populations:
+    // exact copies (vec_id % 7, +100000 — must survive) and a FLOOD
+    // (a full boilerplate MIRROR of the base corpus: every row's
+    // content replaced by the lowest vector's embedding, +200000 —
+    // sized to provably cross the 1.5x-mean line at every SF; a flood
+    // SMALLER than a mean cell is deliberately not flagged — it costs
+    // no more candidates than any cold cell, and Lloyd parks a
+    // dedicated centroid on a flood, so only super-mean floods are
+    // the blowup pathology);
+    // the oracle replays train -> spill ->
+    // cap -> verify end to end (capCellsCte), so a drift in the
+    // threshold arithmetic, the fingerprint, or the cap ordering
+    // fails the hash. 100 TB: both cap windows partition by
+    // cell(, grp) — the candidate join's own shuffle key — so
+    // candidate generation still costs one exchange; worst-case hot
+    // cells are O(m·cap) instead of O(m²). Reference anchor:
+    // VariantLoad3.java:483-495 (bound the in-flight candidate set,
+    // never the corpus).
+    Q("q131_semantic_hotcell_cap",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        import graft.functions.DedupConfig.HotBucketCap
+        val Off = 4000L; val Thresh = 400000L; val Kc = 8
+        val base = table(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val anchor = base.orderBy(col("vec_id")).limit(1)
+          .select(col("embedding").as("ae"))
+        val corpus = base
+          .unionByName(base.filter(col("vec_id") % 7 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000L))
+          .unionByName(base
+            .crossJoin(broadcast(anchor)) // 1-row side -> broadcast
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              col("ae").as("embedding")))
+        // materialized once: feeds training AND the spill assignment
+        val e = corpus.select(col("vec_id"),
+            VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .localCheckpoint(true)
+        val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), Kc, 3)
+          .localCheckpoint(true)
+        IvfKmeans.cappedSpillPairs(e, cents, Thresh, Kc, HotBucketCap)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        import graft.functions.DedupConfig.HotBucketCap
+        s"""WITH corp AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, embedding FROM embeddings
+           |  WHERE vec_id % 7 = 0
+           |  UNION ALL
+           |  SELECT e.vec_id + 200000, a.embedding
+           |  FROM embeddings e,
+           |    (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) a),
+           |${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, src = "corp")},
+           |ce AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+           |       FROM corp),
+           |${IvfKmeans.spillAssignCte("sp", "q", Dim, Seq("qv"))},
+           |${IvfKmeans.capCellsCte("sp", 8, HotBucketCap)},
+           |ev AS (SELECT s.vec_id, s.cell, s.grp, c.v
+           |       FROM spcap s JOIN ce c USING (vec_id))
+           |SELECT vec_a, vec_b, sim_x1e6 FROM (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.grp = b.grp
+           |    AND a.vec_id < b.vec_id)
+           |WHERE sim_x1e6 >= 400000
+           |ORDER BY vec_a, vec_b""".stripMargin
       })
   )
 }

@@ -30,6 +30,7 @@ ROLES = {
     "q88_dedup_pipeline": "PRODUCTION (banded candidate->verify->components->canonical)",
     "q45_knn_lsh": "PRODUCTION (LSH-bucketed k-NN)",
     "q53_knn_ivf": "PRODUCTION (IVF cell-blocked k-NN)",
+    "q131_semantic_hotcell_cap": "PRODUCTION (flood-capped q118; hot cells split by qv fingerprint, r11_semcap_quality.json)",
     "q92_dedup_prefix_filter": "exact Jaccard with prefix-filter pruning (its own production form)",
     "q117_ivf_nprobe": "quality ladder (measurement query)",
 }

@@ -45,6 +45,12 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     # make that ~100M list-comprehension evals at sf1 — engine side
     # completes (see artifacts/), the SQL replay doesn't.
     "q118_semantic_dedup_ivf", "q119_semantic_dedup_pipeline",
+    # q131 caps HOT cells only (flood protection); COLD cells keep all
+    # pairs by design, so its oracle carries q118's same-cell
+    # inline-cosine cost at sf1 (~170M evals with the planted flood's
+    # corpus). Engine side completes (r11 engine-sf1 artifact);
+    # oracle-gated at sf0.001/sf0.01/sf0.1.
+    "q131_semantic_hotcell_cap",
 }
 
 # Oracles that are correct but expensive in DuckDB at sf1 — they get a
