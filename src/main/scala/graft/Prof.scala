@@ -296,24 +296,35 @@ object Prof {
                   keys: Seq[String]): Unit = {
       val a = frame.select(keys.map(col) :+ col("vec_id").as("vec_a"): _*)
       val b = frame.select(keys.map(col) :+ col("vec_id").as("vec_b"): _*)
-      val cand = a.join(b, keys).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
+      val cand = time(s"$kind candidates enumerate")(
+        a.join(b, keys).filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
+          .localCheckpoint(true))
       val n = time(s"$kind candidates")(cand.count())
-      val pairs = cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-          col("nrm").as("na")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("nrm").as("nb")), "vec_b")
+      // the vector side is tiny (corpus rows x 64 doubles); BROADCAST
+      // it so the verify is a map-side pass over the candidate ids.
+      // The first run of this probe let Spark pick SMJ here and the
+      // shuffle of ~3e8 candidate rows each carrying two 64-dim
+      // vectors (~1 KB/row) exhausted the box's spill disk at sf1 —
+      // the exact pathology the capped production path exists to
+      // avoid, but the MEASUREMENT itself must not die of it.
+      val pairs = time(s"$kind verify")(cand
+        .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"))), "vec_a")
+        .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"))), "vec_b")
         .withColumn("sim",
           VF.quantize1e6(VF.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
         .filter(col("sim") >= Thresh)
         .select(col("vec_a"), col("vec_b"))
-        .localCheckpoint(true)
-      val np = time(s"$kind verify")(pairs.count())
+        .localCheckpoint(true))
+      val np = pairs.count()
       val kept = pairs.filter(col("vec_b") === col("vec_a") + 100000L &&
         col("vec_a") % 7 === 0).count()
-      val fp = pairs.join(floodIds.select(col("vec_id").as("vec_a")), "vec_a")
-        .join(floodIds.select(col("vec_id").as("vec_b")), "vec_b").count()
+      val fp = pairs
+        .join(broadcast(floodIds.select(col("vec_id").as("vec_a"))), "vec_a")
+        .join(broadcast(floodIds.select(col("vec_id").as("vec_b"))), "vec_b")
+        .count()
       println(s"PROF   $kind: cands=$n pairs=$np " +
         s"planted_kept=$kept/$nPlanted flood_pairs=$fp")
     }
