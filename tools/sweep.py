@@ -30,9 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import cache_key  # noqa: E402 — shared key derivation
 
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
-    "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard", "q44_knn_bruteforce",
-    "q45_knn_lsh", "q46_dedup_embedding", "q52_dedup_clusters",
-    "q53_knn_ivf", "q58_multimodal_embed", "q88_dedup_pipeline",
+    "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard",
+    "q46_dedup_embedding", "q52_dedup_clusters",
+    "q58_multimodal_embed", "q88_dedup_pipeline",
+    # q92: prefix-filter verify replay measured 2336s in DuckDB at sf1
+    # (r11 priming run) — above any sane inline budget, but finite:
+    # prime it (tools/prime_oracle.py) and it sweeps as a real row.
     "q92_dedup_prefix_filter",
     # gen_sf's 10 key-shifted exact copies are all-band-matching true
     # near-dups, so candidate pairs grow ~100x by corpus construction
@@ -93,8 +96,16 @@ SLOW_ORACLE_TIMEOUT = {
     # one Lloyd chain + two inline-cosine probe joins — q120's class
     "q129_semantic_threshold_point": 900,
     # the centroid-assignment cross join is n^2/101 rows of 8-dim
-    # cosine (25x cheaper per row than q53's 64-dim, which IS skipped)
+    # cosine (25x cheaper per row than q53's 64-dim)
     "q130_multimodal_ann": 900,
+    # measured inline-feasible at sf1 after all (r11 priming run,
+    # 8 DuckDB threads): q44 57s (400 probes x corpus — linear in
+    # corpus, not quadratic), q53 263s (n x n/40 64-dim assignment
+    # cross join), q45 1.4s (bucket equi-join). Moved out of QUADRATIC
+    # so future sweeps check them without a priming pass.
+    "q44_knn_bruteforce": 900,
+    "q45_knn_lsh": 300,
+    "q53_knn_ivf": 900,
 }
 
 
