@@ -328,17 +328,28 @@ object IvfKmeans {
   /** Oracle mirror of [[spillPairs]]: spill assignment (`sp`, from the
     * [[lloydCtes]] `q` frame), vector fetch (`ev`, joining a CTE `e`
     * of (vec_id, v) double lists), and the verified-pair set `spairs`
-    * (vec_a, vec_b, sim_x1e6). `cos` renders the caller's cosine SQL
-    * (the engine/oracle float folds live with the queries). */
+    * (vec_a, vec_b, sim_x1e6). `dot`/`normSq` render the caller's
+    * float-fold SQL (the engine/oracle folds live with the queries).
+    * Norms are hoisted into the MATERIALIZED `ev` (one sqrt-of-fold
+    * per VECTOR, the engine's own precomputed-`nrm` shape) and the
+    * cosine is computed once per pair then filtered by alias —
+    * algebraically identical doubles to the inline form, ~6x less
+    * per-pair work in DuckDB (r11: this is what makes the same-cell
+    * pair oracles primeable at sf1). */
   def spillPairsCtes(dim: Int, threshX1e6: Long,
-                     cos: (String, String) => String): String =
+                     dot: (String, String) => String,
+                     normSq: String => String): String =
     s"""${spillAssignCte("sp", "q", dim)},
-       |ev AS (SELECT sp.vec_id, sp.cell, e.v FROM sp JOIN e USING (vec_id)),
+       |ev AS MATERIALIZED (
+       |  SELECT sp.vec_id, sp.cell, e.v, sqrt(${normSq("e.v")}) AS nrm
+       |  FROM sp JOIN e USING (vec_id)),
        |spairs AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
-       |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE CAST(floor((${cos("a.v", "b.v")}) * 1e6) AS BIGINT) >= $threshX1e6)""".stripMargin
+       |  SELECT DISTINCT vec_a, vec_b, sim_x1e6 FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      CAST(floor(((${dot("a.v", "b.v")}) / (a.nrm * b.nrm)) * 1e6)
+       |        AS BIGINT) AS sim_x1e6
+       |    FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE sim_x1e6 >= $threshX1e6)""".stripMargin
 
   /** Oracle mirror of [[capCells]] over a spill CTE `$sp` carrying
     * (vec_id, qv, cell) — emits `${sp}cap(vec_id, cell, grp)`. The

@@ -197,10 +197,23 @@ object QueriesLlm {
   private def semProbeCte(name: String, src: String, cents: String = "c3") =
     graft.operators.IvfKmeans.spillAssignCte(name, src, Dim, Seq("v", "qv"),
       cents, maxProbe = 1)
+  // Norms are hoisted into per-vector MATERIALIZED CTEs (${d}p/${d}i)
+  // so the probe x index join evaluates ONE 64-dim fold per pair (the
+  // dot) instead of three (dot + both norms) — algebraically identical
+  // doubles (sqrt of the same fold, same multiply order), ~3x cheaper.
+  // This mirrors the engine, which precomputes `nrm` per vector
+  // (SemanticIndex.acceptWave). r11: q128's sf1 oracle was the one
+  // sweep timeout (>900s); the per-pair norm recomputation was the
+  // dominant term.
   private def semWaveCte(p: String, idx: String, d: String, a: String) =
-    s"""$d AS (
-       |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
-       |  WHERE CAST(floor((${cosSql("p.v", "i.v")}) * 1e6) AS BIGINT) >= 400000),
+    s"""${d}p AS MATERIALIZED (
+       |  SELECT vec_id, v, cell, sqrt(${normSqSql("v")}) AS nrm FROM $p),
+       |${d}i AS MATERIALIZED (
+       |  SELECT cell, v, sqrt(${normSqSql("v")}) AS nrm FROM $idx),
+       |$d AS (
+       |  SELECT DISTINCT p.vec_id FROM ${d}p p JOIN ${d}i i ON i.cell = p.cell
+       |  WHERE CAST(floor(((${dotSql("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
+       |    AS BIGINT) >= 400000),
        |$a AS (
        |  SELECT p.vec_id, p.v, p.qv FROM $p p
        |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
@@ -565,11 +578,18 @@ object QueriesLlm {
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(
-        s"""WITH $embCte
+        // norms hoisted per vector (the engine's own precomputed-nrm
+        // shape; identical doubles) — 3x less per-pair fold work over
+        // the O(n^2) join, which is what makes this oracle PRIMEABLE
+        // at sf1 (tools/prime_oracle.py) instead of a permanent skip
+        s"""WITH $embCte,
+           |en AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(${normSqSql("v")}) AS nrm FROM e)
            |SELECT vec_a, vec_b, sim_x1e6 FROM (
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |    CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
-           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |    CAST(floor(((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm)) * 1e6)
+           |      AS BIGINT) AS sim_x1e6
+           |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
            |WHERE sim_x1e6 >= 400000
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
@@ -813,16 +833,22 @@ object QueriesLlm {
         val norm = (a: String) =>
           s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |      [x * x FOR x IN $a]), (x, y) -> x + y))""".stripMargin
+        // norms hoisted per vector (engine's precomputed-nrm shape;
+        // identical doubles) — the O(q·n) scored join pays one 8-dim
+        // fold per pair instead of three, making the sf1 replay
+        // primeable (tools/prime_oracle.py)
         s"""WITH c AS (
            |  SELECT doc_id, list_transform(string_split_regex(text, ''), c -> ascii(c)) AS codes
            |  FROM documents),
-           |e AS (SELECT doc_id, [
-           |    $histSql] AS v FROM c),
-           |q AS (SELECT doc_id AS qid, v AS qv FROM e WHERE doc_id % 37 = 0),
+           |e AS MATERIALIZED (SELECT doc_id, v, ${norm("v")} AS nrm FROM (
+           |  SELECT doc_id, [
+           |    $histSql] AS v FROM c)),
+           |q AS (SELECT doc_id AS qid, v AS qv, nrm AS qnrm FROM e
+           |      WHERE doc_id % 37 = 0),
            |scored AS (
            |  SELECT q.qid, e.doc_id,
            |    CAST(floor((${dot8("qv", "e.v")})
-           |      / (${norm("qv")} * ${norm("e.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |      / (q.qnrm * e.nrm) * 1e6) AS BIGINT) AS sim_x1e6
            |  FROM q JOIN e ON e.doc_id <> q.qid)
            |SELECT qid, CAST(rn AS BIGINT) AS rn, doc_id, sim_x1e6
            |FROM (SELECT qid, doc_id, sim_x1e6,
@@ -2934,7 +2960,7 @@ object QueriesLlm {
         import graft.operators.IvfKmeans
         s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
            |$embCte,
-           |${IvfKmeans.spillPairsCtes(Dim, 400000L, cosSql)}
+           |${IvfKmeans.spillPairsCtes(Dim, 400000L, dotSql, normSqSql)}
            |SELECT vec_a, vec_b, sim_x1e6 FROM spairs
            |ORDER BY vec_a, vec_b""".stripMargin
       }),
@@ -2977,7 +3003,7 @@ object QueriesLlm {
         import graft.operators.IvfKmeans
         s"""WITH RECURSIVE ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
            |$embCte,
-           |${IvfKmeans.spillPairsCtes(Dim, 400000L, cosSql)},
+           |${IvfKmeans.spillPairsCtes(Dim, 400000L, dotSql, normSqSql)},
            |pairs AS (SELECT vec_a, vec_b FROM spairs),
            |edges AS (
            |  SELECT vec_a AS x, vec_b AS y FROM pairs
@@ -4233,15 +4259,140 @@ object QueriesLlm {
            |       FROM corp),
            |${IvfKmeans.spillAssignCte("sp", "q", Dim, Seq("qv"))},
            |${IvfKmeans.capCellsCte("sp", 8, HotBucketCap)},
-           |ev AS (SELECT s.vec_id, s.cell, s.grp, c.v
-           |       FROM spcap s JOIN ce c USING (vec_id))
+           |ev AS MATERIALIZED (
+           |  SELECT s.vec_id, s.cell, s.grp, c.v, sqrt(${normSqSql("c.v")}) AS nrm
+           |  FROM spcap s JOIN ce c USING (vec_id))
            |SELECT vec_a, vec_b, sim_x1e6 FROM (
            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |    CAST(floor((${cosSql("a.v", "b.v")}) * 1e6) AS BIGINT) AS sim_x1e6
+           |    CAST(floor(((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm)) * 1e6)
+           |      AS BIGINT) AS sim_x1e6
            |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.grp = b.grp
            |    AND a.vec_id < b.vec_id)
            |WHERE sim_x1e6 >= 400000
            |ORDER BY vec_a, vec_b""".stripMargin
-      })
+      }),
+
+    // -- STREAMING ingestion for the SEMANTIC index: the q109 shape on
+    // the embedding family, completing the lifecycle mirror
+    // operator-for-operator (build q99↔q120, STREAM q109↔this,
+    // compact q110↔q122, retract q112↔q123). Same corpus contract and
+    // wave strata as q120, so it is gated against the IDENTICAL oracle
+    // (`semanticEpochOracle`) — the q109/q110 twin-oracle pattern: the
+    // oracle has no idea a streaming engine ran, so any
+    // batching/staging/commit bug that shifts one acceptance fails the
+    // hash. Waves arrive as Structured Streaming micro-batches
+    // (AvailableNow, maxFilesPerTrigger=2); each batch probes the
+    // FROZEN epoch index via the shared SemanticIndex.acceptWave (cell
+    // -keyed candidate join, store side exchange-free) and stages its
+    // acceptances per batch; the stage commits as the next epoch only
+    // when the wave drains. Acceptance is per-row vs the frozen index
+    // (no intra-wave interaction), so the result is deterministic
+    // under ANY file-to-batch assignment — on a cluster, concurrent
+    // dedup workers need no read-your-own-write coordination.
+    //
+    // RETRY SAFETY, both layers proven in-gate exactly as q109:
+    // staging is one directory PER BATCH with per-batch OVERWRITE (a
+    // replayed batchId rewrites itself, never double-stages), commit
+    // is an id anti-join against the committed store (a commit-level
+    // retry and a checkpoint-cleared whole-wave replay must both add
+    // 0 vectors — the second is also semantic: every wave-1
+    // acceptance self-matches its own spill entry at cos = 1). Batch
+    // dirs are enumerated with the Hadoop FS API, not a `batch=*`
+    // glob (the r10 FileStreamSink WARN-trace lesson). 100 TB:
+    // per-batch cost is batch-sized (probe assignment vs the 1-row
+    // broadcast centroid frame + one cell-keyed join); the store pays
+    // one bucketed shuffle per EPOCH at commit, never per batch.
+    Q("q132_stream_semantic_dedup",
+      (spark, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Off = 4000L; val Thresh = 400000L
+        val root = s"${Fixtures.scratchRoot}/semstream"
+        val tbl = "graft_q132_vecs"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val e = table(spark, dir, "embeddings")
+          .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+            IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        val seed = e.filter(col("vec_id") % 2 === 0)
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents,
+          nb, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        // q120's wave strata, verbatim (the shared-oracle contract)
+        val w1 = e.filter(col("vec_id") % 20 === 1)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .withColumn("vec_id", col("vec_id") + 200000L))
+        val w2 = e.filter(col("vec_id") % 20 === 11)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+          .unionByName(e.filter(col("vec_id") % 20 === 1)
+            .withColumn("vec_id", col("vec_id") + 400000L))
+        // 4 files per wave source -> 2 micro-batches at trigger=2
+        w1.repartition(4).write.mode("overwrite").parquet(s"$root/src1")
+        w2.repartition(4).write.mode("overwrite").parquet(s"$root/src2")
+        val srcSchema = spark.read.parquet(s"$root/src1").schema
+        def runStream(epoch: Int, srcPath: String): Unit = {
+          val q = spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", 2).parquet(srcPath)
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt_$epoch")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              // per-row accept vs the FROZEN index — batch-composable
+              SemanticIndex.acceptWave(h, batch)
+                .write.mode("overwrite")
+                .parquet(s"$root/stage_$epoch/batch=$batchId")
+            }
+            .start()
+          q.awaitTermination()
+        }
+        // commit the epoch: staged novelties spill-commit; idempotent
+        // INDEPENDENTLY of staging via the id anti-join (q109's
+        // contract — a stale-stage double commit adds 0 by
+        // construction)
+        def commitEpoch(epoch: Int): Long = {
+          val stageDir = new org.apache.hadoop.fs.Path(s"$root/stage_$epoch")
+          val sfs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val batchDirs =
+            if (!sfs.exists(stageDir)) Array.empty[String]
+            else sfs.listStatus(stageDir)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+              .map(_.getPath.toString).sorted
+          val staged =
+            if (batchDirs.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], srcSchema)
+            else spark.read.schema(srcSchema)
+              .parquet(batchDirs.toIndexedSeq: _*)
+          val novel = staged
+            .join(spark.table(tbl).select("vec_id").distinct(),
+              Seq("vec_id"), "left_anti")
+            .localCheckpoint(true) // commit write + count
+          SemanticIndex.commit(h, novel, epoch, nb)
+          novel.count()
+        }
+        runStream(1, s"$root/src1")
+        commitEpoch(1)
+        val recommitted = commitEpoch(1)
+        require(recommitted == 0L,
+          s"commit-level retry of epoch 1 added $recommitted vectors; " +
+            "commitEpoch must be idempotent independently of staging")
+        // checkpoint-cleared whole-wave replay: every wave-1
+        // acceptance now self-matches its own spill entry (cos = 1)
+        Fixtures.rmrf(new java.io.File(s"$root/ckpt_1"))
+        runStream(1, s"$root/src1")
+        val replayed = commitEpoch(1)
+        require(replayed == 0L,
+          s"checkpoint-cleared replay of wave 1 committed $replayed " +
+            "vectors; acceptance must be idempotent once committed")
+        runStream(2, s"$root/src2")
+        commitEpoch(2)
+        SemanticIndex.rollup(h)
+      },
+      Some(semanticEpochOracle))
   )
 }

@@ -95,6 +95,10 @@ SLOW_ORACLE_TIMEOUT = {
     "q128_semantic_drift_retrain": 900,
     # one Lloyd chain + two inline-cosine probe joins — q120's class
     "q129_semantic_threshold_point": 900,
+    # shares semanticEpochOracle VERBATIM with q120 (twin-oracle) —
+    # after q120's row the oracle is a cache hit; budget covers the
+    # cold case
+    "q132_stream_semantic_dedup": 900,
     # the centroid-assignment cross join is n^2/101 rows of 8-dim
     # cosine (25x cheaper per row than q53's 64-dim)
     "q130_multimodal_ann": 900,
