@@ -31,11 +31,18 @@ from check import cache_key  # noqa: E402 — shared key derivation
 
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard",
-    "q46_dedup_embedding", "q52_dedup_clusters",
-    "q58_multimodal_embed", "q88_dedup_pipeline",
-    # q92: prefix-filter verify replay measured 2336s in DuckDB at sf1
-    # (r11 priming run) — above any sane inline budget, but finite:
-    # prime it (tools/prime_oracle.py) and it sweeps as a real row.
+    "q52_dedup_clusters", "q88_dedup_pipeline",
+    # q119's BLOCKING half got the norm hoist like q118, but its
+    # oracle also closes the edge set with a recursive transitive-
+    # closure CTE — on gen_sf's copy-amplified sf1 graph (159k edges,
+    # dense near-dup components) the closure alone exceeds the 900s
+    # budget (late-r11 measurement: >27min wall). Primeable, not
+    # inline.
+    "q119_semantic_dedup_pipeline",
+    # q92: prefix-filter verify replay measured 2336s (first r11 run) /
+    # 1879s (late-r11 rerun) in DuckDB at sf1 — above any sane inline
+    # budget, but finite: prime it (tools/prime_oracle.py) and it
+    # sweeps as a real row.
     "q92_dedup_prefix_filter",
     # gen_sf's 10 key-shifted exact copies are all-band-matching true
     # near-dups, so candidate pairs grow ~100x by corpus construction
@@ -43,17 +50,11 @@ QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     # sweep timeout at sf1. Validated at sf0.01 AND on the
     # realistic-vocabulary twin tmp/sf0.1rich instead.
     "q108_dedup_minhash_word",
-    # q118/q119's oracles evaluate the 64-dim cosine inline over every
-    # same-cell candidate pair; gen_sf's 10 exact copies per vector
-    # make that ~100M list-comprehension evals at sf1 — engine side
-    # completes (see artifacts/), the SQL replay doesn't.
-    "q118_semantic_dedup_ivf", "q119_semantic_dedup_pipeline",
-    # q131 caps HOT cells only (flood protection); COLD cells keep all
-    # pairs by design, so its oracle carries q118's same-cell
-    # inline-cosine cost at sf1 (~170M evals with the planted flood's
-    # corpus). Engine side completes (r11 engine-sf1 artifact);
-    # oracle-gated at sf0.001/sf0.01/sf0.1.
-    "q131_semantic_hotcell_cap",
+    # NOTE (late r11): q46/q58/q118/q131 left this set — hoisting
+    # per-vector norms out of their oracles' pair joins (engine's own
+    # precomputed-nrm shape, identical doubles) cut the per-pair work
+    # ~3-6x and their sf1 replays now fit the 900s budget (measured
+    # walls below). They sweep as REAL rows with no priming pass.
 }
 
 # Oracles that are correct but expensive in DuckDB at sf1 — they get a
@@ -110,6 +111,15 @@ SLOW_ORACLE_TIMEOUT = {
     "q44_knn_bruteforce": 900,
     "q45_knn_lsh": 300,
     "q53_knn_ivf": 900,
+    # inline-feasible after the late-r11 norm hoist (measured sf1
+    # walls, 8 DuckDB threads, under concurrent load): q58 48s (67.5M
+    # 8-dim pairs), q118 210s (~53M same-cell 64-dim pairs), q131 259s
+    # (q118's shape + the planted-flood corpus), q46 352s (200M
+    # all-pairs — the exact baseline).
+    "q58_multimodal_embed": 900,
+    "q118_semantic_dedup_ivf": 900,
+    "q131_semantic_hotcell_cap": 900,
+    "q46_dedup_embedding": 900,
 }
 
 
