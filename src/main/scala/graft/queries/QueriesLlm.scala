@@ -225,11 +225,13 @@ object QueriesLlm {
       |  FROM embeddings)""".stripMargin
 
   /** The two-sequential-waves SEMANTIC epoch-dedup oracle, shared
-    * VERBATIM by q120 (plain ingest) and q122 (ingest with a
-    * mid-pipeline index compaction) — the q109/q110 twin-oracle
-    * pattern on the embedding family: identical rollup from either
-    * physical path is what makes q122's compaction provably
-    * semantics-free. */
+    * VERBATIM by q120 (plain batch ingest), q122 (ingest with a
+    * mid-pipeline index compaction), and q132 (the same waves driven
+    * through Structured Streaming micro-batches) — the q109/q110
+    * twin-oracle pattern on the embedding family: identical rollup
+    * from any physical path is what makes q122's compaction provably
+    * semantics-free and q132's batching/staging/commit machinery
+    * provably acceptance-neutral. */
   private lazy val semanticEpochOracle: String = {
     import graft.operators.IvfKmeans
     s"""WITH ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L, " WHERE vec_id % 2 = 0")},
