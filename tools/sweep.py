@@ -149,6 +149,9 @@ def main():
         # not because the comparison is
         if n in QUADRATIC and not primed(cache_dir, sf_dir, oracle_sql[n]):
             skipped.append(n)
+            # name the skip in the log so the artifact is
+            # self-enumerating (a silent skip reads as a missing row)
+            print(f"{n}: SKIP (quadratic oracle, not primed)", flush=True)
             continue
         budget = str(SLOW_ORACLE_TIMEOUT.get(n, per_query_timeout))
         r = subprocess.run(
