@@ -205,9 +205,13 @@ object QueriesLlm {
   // (SemanticIndex.acceptWave). r11: q128's sf1 oracle was the one
   // sweep timeout (>900s); the per-pair norm recomputation was the
   // dominant term.
+  // `qv` rides INTO the materialized ${d}p so the accept CTE $a reads
+  // it back from there — the probe spill-assignment $p is scanned
+  // exactly once per wave (r11 ADVICE: $a's direct re-read of $p let
+  // DuckDB evaluate the assignment twice)
   private def semWaveCte(p: String, idx: String, d: String, a: String) =
     s"""${d}p AS MATERIALIZED (
-       |  SELECT vec_id, v, cell, sqrt(${normSqSql("v")}) AS nrm FROM $p),
+       |  SELECT vec_id, v, qv, cell, sqrt(${normSqSql("v")}) AS nrm FROM $p),
        |${d}i AS MATERIALIZED (
        |  SELECT cell, v, sqrt(${normSqSql("v")}) AS nrm FROM $idx),
        |$d AS (
@@ -215,7 +219,7 @@ object QueriesLlm {
        |  WHERE CAST(floor(((${dotSql("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
        |    AS BIGINT) >= 400000),
        |$a AS (
-       |  SELECT p.vec_id, p.v, p.qv FROM $p p
+       |  SELECT p.vec_id, p.v, p.qv FROM ${d}p p
        |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
   private val semEallCte =
     """eall AS (
@@ -4338,6 +4342,13 @@ object QueriesLlm {
         w2.repartition(4).write.mode("overwrite").parquet(s"$root/src2")
         val srcSchema = spark.read.parquet(s"$root/src1").schema
         def runStream(epoch: Int, srcPath: String): Unit = {
+          // a fresh stream run owns its stage directory: clear it so a
+          // checkpoint-cleared replay that happened to produce FEWER
+          // micro-batches than the prior run could never leave stale
+          // batch= dirs for commitEpoch to union in (r11 ADVICE — today
+          // the id anti-join makes stale dirs harmless, but the
+          // invariant should be structural, not incidental)
+          Fixtures.rmrf(new java.io.File(s"$root/stage_$epoch"))
           val q = spark.readStream.schema(srcSchema)
             .option("maxFilesPerTrigger", 2).parquet(srcPath)
             .writeStream

@@ -59,10 +59,18 @@ class StreamSemanticDedupSpec extends SparkSpec {
         (col("vec_id") >= 400000L && col("vec_id") < 500000L)).count()
     assert(rejected == 0L, "an exact copy or a wave-1 twin entered the index")
 
-    // accepted strata land in the right epoch and only there
-    assert(byEpoch.get(1).forall { case (lo, hi, _) => lo >= 100000L && hi < 200000L },
+    // accepted strata land in the right epoch and only there. The
+    // epochs must EXIST (r11 ADVICE: a forall over an absent epoch is
+    // vacuously true, so a reject-everything regression in the
+    // streaming accept path — which also zeroes the `rejected` count
+    // above — would otherwise slip through to the oracle gate)
+    assert(byEpoch.contains(1) && byEpoch(1)._3 > 0,
+      s"epoch 1 committed nothing — the accept path rejected a whole wave: $byEpoch")
+    assert(byEpoch.contains(2) && byEpoch(2)._3 > 0,
+      s"epoch 2 committed nothing — the accept path rejected a whole wave: $byEpoch")
+    assert(byEpoch(1) match { case (lo, hi, _) => lo >= 100000L && hi < 200000L },
       s"epoch 1 must hold only +100000 novelties: $byEpoch")
-    assert(byEpoch.get(2).forall { case (lo, hi, _) => lo >= 300000L && hi < 400000L },
+    assert(byEpoch(2) match { case (lo, hi, _) => lo >= 300000L && hi < 400000L },
       s"epoch 2 must hold only +300000 novelties: $byEpoch")
   }
 }
