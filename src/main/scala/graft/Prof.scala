@@ -48,6 +48,15 @@ object Prof {
     // (capped vs uncapped candidates/pairs, planted-copy recall, flood
     // pair bound) on the planted-flood embedding corpus, engine-side
     if (args.contains("semcap")) { profSemcap(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof semcapdiag` -> per-lost-pair diagnosis of
+    // planted pairs the q131 cap drops (cell, fingerprint-family size,
+    // cap-window ranks) — the r11 "2855/2856 unexplained" follow-up
+    if (args.contains("semcapdiag")) { profSemcapDiag(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof mmrecall` -> q130 multimodal-ANN quality:
+    // recall@3 of the trained-K cell-blocked search vs the exact
+    // brute-force top-3 over the FULL probe set, with per-stage
+    // timings (train / assign / search / brute)
+    if (args.contains("mmrecall")) { profMmRecall(spark, docs); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -332,6 +341,143 @@ object Prof {
       IvfKmeans.capCells(spilled, Kc, HotBucketCap).localCheckpoint(true),
       Seq("cell", "grp"))
     pairStats("uncapped", spilled, Seq("cell"))
+  }
+
+  /** q130's quality evidence at any SF: recall@3 of the trained-K
+    * cell-blocked multimodal search against the exact brute-force
+    * top-3 over the FULL probe set (the gate hashes the tuning-sample
+    * numerators; this measures everything), with per-stage walls. The
+    * assignment leg is the r11 `weak` being retired: O(n·K) against
+    * the trained quantizer vs the old O(n·(n/101)) sampled-centroid
+    * scheme — `mm assign` here IS that leg's measured cost. */
+  private def profMmRecall(spark: SparkSession,
+                           docs: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.operators.IvfKmeans
+    import graft.functions.{VectorFunctions => VF}
+    import org.apache.spark.sql.expressions.Window
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val Kc = 16; val Iters = 2
+    val hist = (0 until 8).map(b =>
+      s"size(filter(codes, c -> c div 16 = $b))").mkString(", ")
+    val e = time("mm feature extract")(docs
+      .selectExpr("doc_id", "transform(split(text, ''), c -> ascii(c)) AS codes")
+      .selectExpr("doc_id AS vec_id", s"CAST(array($hist) AS array<double>) AS v")
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .withColumn("qv", IvfKmeans.quantize(
+        transform(col("v"), x => x / col("nrm")), 0L))
+      .localCheckpoint(true))
+    val n = e.count()
+    val cents = time("mm train (K=16)")(
+      IvfKmeans.train(e.select(col("vec_id"), col("qv")), Kc, Iters)
+        .localCheckpoint(true))
+    val assign = time("mm assign O(n*K)")(
+      IvfKmeans.rankCells(e, "qv", cents, 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .localCheckpoint(true))
+    val q = assign.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    def top3(cand: org.apache.spark.sql.DataFrame) = cand
+      .withColumn("sim",
+        VF.quantize1e6(VF.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val ivf = time("mm ivf search")(
+      top3(q.join(assign, Seq("cell")).filter(col("vec_id") =!= col("qid")))
+        .localCheckpoint(true))
+    val brute = time("mm brute O(q*n)")(
+      top3(broadcast(q.drop("cell"))
+        .join(e.select(col("vec_id"), col("v"), col("nrm")),
+          col("vec_id") =!= col("qid")))
+        .localCheckpoint(true))
+    val nb = brute.count()
+    val hits = brute.join(ivf, Seq("qid", "vec_id"), "left_semi").count()
+    println(f"PROF   mm corpus=$n probes=${q.count()} recall@3=$hits/$nb " +
+      f"= ${hits.toDouble / nb}%.3f")
+  }
+
+  /** Per-lost-pair diagnosis for q131's cap (the r11 "2855/2856 at
+    * sf1" follow-up): rebuilds the q131 corpus and capCells internals
+    * WITH the diagnostics kept (cell occupancy, hot threshold,
+    * fingerprint-family size, cap-window rank), finds every planted
+    * pair the capped join drops, and prints each lost member's rows —
+    * distinguishing "designed O(m·cap) loss on a >cap copy family"
+    * from a fingerprint-grouping bug. */
+  private def profSemcapDiag(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.IvfKmeans
+    import graft.functions.{VectorFunctions => VF, TextFunctions => TF}
+    import graft.functions.DedupConfig.HotBucketCap
+    import org.apache.spark.sql.expressions.Window
+    val Off = 4000L; val Kc = 8
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val anchor = base.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("ae"))
+    val corpus = base
+      .unionByName(base.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      .unionByName(base.crossJoin(broadcast(anchor))
+        .select((col("vec_id") + 200000L).as("vec_id"), col("ae").as("embedding")))
+    val e = corpus.select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"),
+        IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(true)
+    val cents = IvfKmeans.train(e.select(col("vec_id"), col("qv")), Kc, 3)
+      .localCheckpoint(true)
+    val spilled = IvfKmeans.rankCells(e, "qv", cents, 2)
+      .select(col("vec_id"), col("qv"), col("cell"))
+      .localCheckpoint(true)
+    // capCells' exact arithmetic with occ/fam/rn retained
+    val tot = spilled.agg(count(lit(1)).as("tot"))
+    val diag = spilled.crossJoin(broadcast(tot))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("hthr",
+        greatest(lit(HotBucketCap.toLong), expr(s"(tot * 3) DIV ${2 * Kc}")))
+      .withColumn("sg", aggregate(col("qv"), lit(0L),
+        (a, x) => (a * 31 + x) % TF.HashMod))
+      .withColumn("grp",
+        when(col("occ") > col("hthr"), col("sg")).otherwise(lit(0L)))
+      .withColumn("fam", count(lit(1)).over(
+        Window.partitionBy(col("cell"), col("grp"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"), col("grp")).orderBy(col("vec_id"))))
+      .localCheckpoint(true)
+    val capped = diag.filter(col("grp") === 0L || col("rn") <= HotBucketCap)
+    // a planted pair (a, a+100000) survives iff the two ids share a
+    // post-cap (cell, grp); exact copies always pass the cos verify
+    val ka = capped.select(col("cell"), col("grp"), col("vec_id").as("vec_a"))
+    val kb = capped.select(col("cell"), col("grp"), col("vec_id").as("vec_b"))
+    // no id-range test on vec_a: gen_sf corpora key-shift base ids by
+    // 1e6·k, so "base side" means the %7 planting predicate ALONE (the
+    // r11 wordcap lesson, re-learned here — an id-range filter counted
+    // every shifted family as lost on the first run of this diag)
+    val kept = ka.join(kb, Seq("cell", "grp"))
+      .filter(col("vec_a") % 7 === 0 &&
+        col("vec_b") === col("vec_a") + 100000L)
+      .select("vec_a").distinct()
+    val plantedA = base.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("vec_a"))
+    val lost = plantedA.join(kept, Seq("vec_a"), "left_anti")
+      .localCheckpoint(true)
+    println(s"PROF   planted pairs lost by the cap: ${lost.count()}" +
+      s" of ${plantedA.count()}")
+    val lostIds = lost.select(col("vec_a").as("vec_id"))
+      .unionByName(lost.select((col("vec_a") + 100000L).as("vec_id")))
+    diag.join(broadcast(lostIds), Seq("vec_id"))
+      .select("vec_id", "cell", "occ", "hthr", "grp", "fam", "rn")
+      .orderBy("vec_id", "cell")
+      .collect()
+      .foreach(r => println(s"PROF   lost-member vec_id=${r.getLong(0)} " +
+        s"cell=${r.getLong(1)} occ=${r.getLong(2)} hthr=${r.getLong(3)} " +
+        s"grp=${r.getLong(4)} fam=${r.getLong(5)} rn=${r.getInt(6)}"))
   }
 
   /** Per-stage attribution for q58_multimodal_embed and
