@@ -81,9 +81,12 @@ object IvfKmeans {
 
   /** Nearest-centroid assignment of `q` (vec_id, qv) against a 1-row
     * `cents` frame → (vec_id, qv, cid, dist). Map-side: the 1-row side
-    * broadcasts. */
+    * rides an EXPLICIT broadcast hint, so the plan is a broadcast
+    * nested loop (never a cartesian) even with
+    * autoBroadcastJoinThreshold forced off — which is exactly what the
+    * plan-assertion specs force. */
   def assign(q: DataFrame, cents: DataFrame): DataFrame =
-    q.crossJoin(cents)
+    q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"),
         bestCentroid(col("qv"), col("cents")).as("best"))
       .select(col("vec_id"), col("qv"),
@@ -113,11 +116,12 @@ object IvfKmeans {
     *  - SPILL ASSIGNMENT (q118): the corpus itself indexes into its 2
     *    nearest cells, so boundary pairs split across neighboring
     *    cells still collide — index inflation bounded at exactly 2x.
-    * Map-side: the cents row broadcasts; the explode is per-row. */
+    * Map-side: the cents row rides an explicit broadcast hint (see
+    * [[assign]]); the explode is per-row. */
   def rankCells(rows: DataFrame, qvCol: String, cents: DataFrame,
                 maxProbe: Int): DataFrame = {
     val passthru = rows.columns.map(col).toSeq
-    rows.crossJoin(cents)
+    rows.crossJoin(broadcast(cents))
       .select(passthru :+
         posexplode(slice(sort_array(transform(col("cents"), c =>
           struct(distL2(col(qvCol), c.getField("cqv")).as("dist"),

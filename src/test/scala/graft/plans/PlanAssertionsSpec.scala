@@ -186,16 +186,22 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q130: multimodal ANN search joins by cell only — one broadcast centroid leg, no corpus re-key") {
-    // assignment is materialized behind a localCheckpoint, so this is
-    // the SEARCH plan: probe rows join candidates on their assigned
-    // cell, then the per-query top-k window. The n/101-row centroid
-    // table is the ONE deliberate broadcast (explicit broadcast() —
-    // still honored with the threshold forced off); the corpus itself
-    // may only be re-keyed by cell or qid.
+  test("q130: multimodal ANN search joins by cell only — broadcast legs bounded, no corpus re-key") {
+    // graft.planOnly suppresses the builder's stage checkpoints, so
+    // this is the COMPLETE declarative plan — feature extraction,
+    // assignment, the cell-keyed search join + top-k window, the
+    // exact-recall tuning leg, and the recall floor — end to end.
+    // Deliberate broadcast legs (explicit broadcast() — still honored
+    // with the threshold forced off): the K=16 trained centroid row,
+    // the ~n/2738-row exact-recall tuning sample (whose non-equi join
+    // against the corpus must be a BroadcastNestedLoopJoin, never a
+    // corpus×corpus CartesianProduct — r12's red test), and the 1-row
+    // recall-floor frame. The corpus itself may only be re-keyed by
+    // cell or qid.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("graft.planOnly", "true")
       val p = plan("q130_multimodal_ann")
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
@@ -205,6 +211,9 @@ class PlanAssertionsSpec extends SparkSpec {
         .filterNot(k => k.contains("cell") || k.contains("qid")).toList
       assert(badKeys.isEmpty,
         s"only cell/qid may key a hash exchange (found: $badKeys)\n" + p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("graft.planOnly", "false")
+    }
   }
 }
