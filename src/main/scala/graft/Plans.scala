@@ -23,11 +23,12 @@ object Plans {
         "q125_ivf_operating_point", "q126_lsh_operating_point",
         "q127_dedup_word_hotcap", "q128_semantic_drift_retrain",
         "q129_semantic_threshold_point", "q130_multimodal_ann",
-        "q131_semantic_hotcell_cap")
-      // q109/q110/q112/q132/q133 are excluded: explaining their final
-      // rollup would run a full streaming/compaction (or multi-epoch
-      // index build) lifecycle for a trivial plan; their physical
-      // shapes are documented per-stage in PLANS.md instead
+        "q131_semantic_hotcell_cap", "q134_index_geometry_point",
+        "q135_hotcap_operating_point")
+      // q109/q110/q112/q132/q133/q136 are excluded: explaining their
+      // final rollup would run a full streaming/compaction (or
+      // multi-epoch index build) lifecycle for a trivial plan; their
+      // physical shapes are documented per-stage in PLANS.md instead
     for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

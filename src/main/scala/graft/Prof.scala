@@ -52,6 +52,9 @@ object Prof {
     // planted pairs the q131 cap drops (cell, fingerprint-family size,
     // cap-window ranks) — the r11 "2855/2856 unexplained" follow-up
     if (args.contains("semcapdiag")) { profSemcapDiag(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof semdrift` -> per-stage attribution of the
+    // q128 lifecycle (the r12 steady-bench +2.5s mover)
+    if (args.contains("semdrift")) { profSemDrift(spark, sfDir); spark.stop(); return }
     // `runMain graft.Prof mmrecall` -> q130 multimodal-ANN quality:
     // recall@3 of the trained-K cell-blocked search vs the exact
     // brute-force top-3 over the FULL probe set, with per-stage
@@ -478,6 +481,75 @@ object Prof {
       .foreach(r => println(s"PROF   lost-member vec_id=${r.getLong(0)} " +
         s"cell=${r.getLong(1)} occ=${r.getLong(2)} hthr=${r.getLong(3)} " +
         s"grp=${r.getLong(4)} fam=${r.getLong(5)} rn=${r.getInt(6)}"))
+  }
+
+  /** Per-stage attribution of q128_semantic_drift_retrain — the r12
+    * steady-bench mover (5.40 -> 7.95 s judge-steady on an engine path
+    * r12 did not touch; VERDICT r12 task 7). Mirrors the gate's
+    * lifecycle stage by stage through the SAME SemanticIndex/IvfKmeans
+    * operators, each stage forced in isolation, so the drift names a
+    * STAGE, not a query. */
+  private def profSemDrift(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{IvfKmeans, SemanticIndex}
+    import graft.functions.{VectorFunctions => VF}
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val Off = 4000L; val Thresh = 400000L
+    val root = s"${graft.queries.Fixtures.scratchRoot}/profsemdrift"
+    val tbl = "graft_prof_semdrift"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.queries.Fixtures.rmrf(new java.io.File(root))
+    val e = time("q128 vec prep")(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"),
+          IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+        .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        .localCheckpoint(true))
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    val cents0 = time("q128 train seed cents")(
+      IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 3)
+        .localCheckpoint(true))
+    val nb = graft.functions.DedupConfig.IndexBuckets
+    val h = SemanticIndex.Handle(spark, tbl, s"$root/idx_vecs", cents0,
+      nb, Thresh)
+    time("q128 writeEpoch0")(SemanticIndex.writeEpoch0(h, seed))
+    def skew(): (Long, Long, Long) = {
+      val r = spark.table(tbl).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), sum(col("n")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val w1 = e.filter(col("vec_id") % 20 === 1)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val a1 = time("q128 wave1 accept")(SemanticIndex.acceptWave(h, w1))
+    time("q128 wave1 commit")(SemanticIndex.commit(h, a1, 1, nb))
+    time("q128 skew read 1")(skew())
+    val anchor = e.filter(col("vec_id") % 20 === 3)
+      .orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+    val w2 = e.filter(col("vec_id") % 4 === 3)
+      .crossJoin(broadcast(anchor))
+      .withColumn("v", zip_with(col("v"), col("av"),
+        (x, a) => x + a * lit(5)))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * 1000).cast("long") + lit(Off)))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .withColumn("vec_id", col("vec_id") + 200000L)
+      .select("vec_id", "v", "qv", "nrm")
+    val a2 = time("q128 wave2 accept")(SemanticIndex.acceptWave(h, w2))
+    time("q128 wave2 commit")(SemanticIndex.commit(h, a2, 2, nb))
+    time("q128 skew read 2")(skew())
+    val h2 = time("q128 retrainReassign")(
+      SemanticIndex.retrainReassign(h, Off, 8, 3, nb * 2))
+    time("q128 skew read 3")(skew())
+    val w3 = e.filter(col("vec_id") % 20 === 11)
+      .withColumn("vec_id", col("vec_id") + 300000L)
+    val a3 = time("q128 wave3 accept")(SemanticIndex.acceptWave(h2, w3))
+    time("q128 wave3 commit")(SemanticIndex.commit(h2, a3, 3, nb * 2))
+    time("q128 rollup")(SemanticIndex.rollup(h2).collect())
   }
 
   /** Per-stage attribution for q58_multimodal_embed and

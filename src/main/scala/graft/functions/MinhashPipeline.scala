@@ -140,14 +140,17 @@ object MinhashPipeline {
   }
 
   /** Oracle mirror of [[capBands]] over `{prefix}bands`/`{prefix}docs`
-    * (from [[minhashCtes]]) — emits `{prefix}cap(doc_id, bkey, grp)`.
-    * The fingerprint folds the SORTED hl (the engine's `hl` is sorted
-    * by construction; minhashCtes' is distinct-but-unsorted). */
-  def capBandsCte(prefix: String, cap: Int): String = {
+    * (from [[minhashCtes]]) — emits `{out}cap(doc_id, bkey, grp)`
+    * (`out` defaults to `prefix`; a non-default `out` lets several cap
+    * rungs share ONE band/doc derivation — the q135 ladder). The
+    * fingerprint folds the SORTED hl (the engine's `hl` is sorted by
+    * construction; minhashCtes' is distinct-but-unsorted). */
+  def capBandsCte(prefix: String, cap: Int, out: String = ""): String = {
+    val o = if (out.isEmpty) prefix else out
     val fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(hl)),
        |        (a, x) -> (a * 31 + x) % ${TF.HashMod})""".stripMargin
-    s"""${prefix}sg AS (SELECT doc_id, $fold AS sg FROM ${prefix}docs),
-       |${prefix}cap AS (
+    s"""${o}sg AS (SELECT doc_id, $fold AS sg FROM ${prefix}docs),
+       |${o}cap AS (
        |  SELECT doc_id, bkey, grp FROM (
        |    SELECT doc_id, bkey, grp,
        |      row_number() OVER (PARTITION BY bkey, grp ORDER BY doc_id) AS rn
@@ -155,7 +158,7 @@ object MinhashPipeline {
        |      SELECT b.doc_id, b.bkey,
        |        CASE WHEN count(*) OVER (PARTITION BY b.bkey) > $cap
        |             THEN s.sg ELSE 0 END AS grp
-       |      FROM ${prefix}bands b JOIN ${prefix}sg s USING (doc_id)))
+       |      FROM ${prefix}bands b JOIN ${o}sg s USING (doc_id)))
        |  WHERE rn <= $cap)""".stripMargin
   }
 

@@ -265,6 +265,39 @@ object QueriesLlm {
        |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
   }
 
+  // ---- multimodal-index oracle building blocks (byte-histogram
+  // features, dim 8, accept threshold 0.9), shared by q133 (build +
+  // ingest) and q136 (compact + retract) — semWaveCte's discipline at
+  // the multimodal family's feature granularity, one definition so a
+  // feature or threshold retune can never drift the two gates apart.
+  private val mmHistSql = (0 until 8).map(b =>
+    s"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS DOUBLE)")
+    .mkString(",\n      ")
+  private def mmFeatsCte(name: String, src: String): String =
+    s"""${name}h AS (
+       |  SELECT vec_id, [
+       |      $mmHistSql] AS v
+       |  FROM (SELECT vec_id, list_transform(string_split_regex(txt, ''),
+       |          c -> ascii(c)) AS codes FROM $src)),
+       |$name AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_transform(v, x -> CAST(floor(x / nrm * 1000) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, v,
+       |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            [x * x FOR x IN v]), (a, b) -> a + b)) AS nrm
+       |        FROM ${name}h))""".stripMargin
+  private def mmDot8(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$a[i] * $b[i] FOR i IN generate_series(1, 8)]), (x, y) -> x + y)""".stripMargin
+  private def mmWaveCte(p: String, idx: String, d: String, a: String): String =
+    s"""$d AS (
+       |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
+       |  WHERE CAST(floor(((${mmDot8("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
+       |    AS BIGINT) >= 900000),
+       |$a AS (
+       |  SELECT p.vec_id, p.v, p.nrm, p.qv FROM $p p
+       |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
+
   /** DuckDB LSH bucket of a DOUBLE list column `v`. */
   private def bucketSql(v: String): String =
     (0 until Planes).map { j =>
@@ -4215,7 +4248,7 @@ object QueriesLlm {
             col("n1"), col("n2").cast("long"), lit(0L).as("n3")))
           .crossJoin(broadcast(floorOk))
           .filter(isnull(assert_true(col("floor_ok"),
-            lit("multimodal ANN recall@3 collapsed below the 0.8 floor"))))
+            lit("multimodal ANN recall@3 collapsed below the 0.7 floor"))))
           .drop("floor_ok")
           .orderBy(col("sect"), col("qid"), col("n1"), col("n2"))
       },
@@ -4592,39 +4625,12 @@ object QueriesLlm {
       },
       Some {
         import graft.operators.IvfKmeans
-        val histSql = (0 until 8).map(b =>
-          s"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS DOUBLE)")
-          .mkString(",\n      ")
-        def featsCte(name: String, src: String) =
-          s"""${name}h AS (
-             |  SELECT vec_id, [
-             |      $histSql] AS v
-             |  FROM (SELECT vec_id, list_transform(string_split_regex(txt, ''),
-             |          c -> ascii(c)) AS codes FROM $src)),
-             |$name AS (
-             |  SELECT vec_id, v, nrm,
-             |    list_transform(v, x -> CAST(floor(x / nrm * 1000) AS BIGINT)) AS qv
-             |  FROM (SELECT vec_id, v,
-             |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |            [x * x FOR x IN v]), (a, b) -> a + b)) AS nrm
-             |        FROM ${name}h))""".stripMargin
-        val dot8 = (a: String, b: String) =>
-          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      [$a[i] * $b[i] FOR i IN generate_series(1, 8)]), (x, y) -> x + y)""".stripMargin
-        def waveCte(p: String, idx: String, d: String, a: String) =
-          s"""$d AS (
-             |  SELECT DISTINCT p.vec_id FROM $p p JOIN $idx i ON i.cell = p.cell
-             |  WHERE CAST(floor(((${dot8("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
-             |    AS BIGINT) >= 900000),
-             |$a AS (
-             |  SELECT p.vec_id, p.v, p.nrm, p.qv FROM $p p
-             |  LEFT JOIN $d d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL)""".stripMargin
         s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
-           |${featsCte("f0", "(SELECT doc_id AS vec_id, text AS txt FROM dsrc)")},
+           |${mmFeatsCte("f0", "(SELECT doc_id AS vec_id, text AS txt FROM dsrc)")},
            |${IvfKmeans.lloydCtes(8, 2, 8, 0L,
               src = "(SELECT vec_id, [x / nrm FOR x IN v] AS embedding FROM f0)")},
            |${IvfKmeans.spillAssignCte("i0", "f0", 8, Seq("v", "nrm"), cents = "c2")},
-           |${featsCte("w1f",
+           |${mmFeatsCte("w1f",
               """(SELECT doc_id + 100000 AS vec_id, text AS txt FROM dsrc
                  |      WHERE doc_id % 5 = 0
                  |      UNION ALL
@@ -4632,13 +4638,13 @@ object QueriesLlm {
                  |      WHERE doc_id % 5 = 1)""".stripMargin)},
            |${IvfKmeans.spillAssignCte("p1", "w1f", 8, Seq("v", "nrm", "qv"),
               cents = "c2", maxProbe = 1)},
-           |${waveCte("p1", "i0", "dd1", "ac1")},
+           |${mmWaveCte("p1", "i0", "dd1", "ac1")},
            |${IvfKmeans.spillAssignCte("sp1",
               "(SELECT vec_id, v, nrm, qv FROM ac1)", 8, Seq("v", "nrm"),
               cents = "c2")},
            |i1 AS (SELECT vec_id, v, nrm, cell FROM i0
            |       UNION ALL SELECT vec_id, v, nrm, cell FROM sp1),
-           |${featsCte("w2f",
+           |${mmFeatsCte("w2f",
               """(SELECT doc_id + 300000 AS vec_id, upper(text) AS txt FROM dsrc
                  |      WHERE doc_id % 5 = 1
                  |      UNION ALL
@@ -4646,11 +4652,472 @@ object QueriesLlm {
                  |      WHERE doc_id % 5 = 2)""".stripMargin)},
            |${IvfKmeans.spillAssignCte("p2", "w2f", 8, Seq("v", "nrm", "qv"),
               cents = "c2", maxProbe = 1)},
-           |${waveCte("p2", "i1", "dd2", "ac2")},
+           |${mmWaveCte("p2", "i1", "dd2", "ac2")},
            |committed AS (
            |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
            |  UNION ALL SELECT 1, vec_id FROM ac1
            |  UNION ALL SELECT 2, vec_id FROM ac2)
+           |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+           |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- INDEX GEOMETRY OPERATING POINT (K from measurement, not
+    // config faith): every cell index in the engine trains at a
+    // constant K (semantic 8, multimodal 16, IndexBuckets 8) that
+    // nothing measured — VERDICT r11/r12's standing item. The
+    // q125/q126 measure -> select -> serve discipline applied to the
+    // GEOMETRY itself: train a K ladder {4, 8, 16} on a HELD-OUT
+    // third of the corpus (training cost is rung-bounded, never
+    // corpus-rung×corpus), assign the FULL corpus at each rung
+    // (map-side vs the K-row broadcast centroid frame), and measure
+    // the occupancy integers (effective cells, max, total). The
+    // decision is CAPACITY, not skew (skew at fixed K is q128's
+    // retrain trigger; this gate sizes K before skew is even
+    // definable): mean occupancy is exactly the per-probe candidate-
+    // list price, so the SMALLEST K whose mean occupancy fits the
+    // OccBudget=96 serving budget wins (cheapest geometry: fewer
+    // centroid comparisons per assignment, smaller broadcast), the
+    // largest rung is the fallback when the corpus outgrows the
+    // ladder. Effective-cell count is the denominator, so a
+    // degenerate training that collapses cells honestly raises the
+    // measured mean. The crank-1 assignment is the measured signal
+    // (the 2x spill of the production index scales every cell
+    // uniformly and cancels against a doubled budget). Ladder rows,
+    // the chosen K, and the full-corpus occupancy rollup SERVED at
+    // the chosen K are all hashed; the oracle re-derives all three
+    // (three prefixed Lloyd chains), so a drift anywhere in
+    // measure -> select -> serve fails the gate. Selection is
+    // corpus-dependent by design: K=8 on the 500-vector driver
+    // corpora (mean 500/8 <= 96), fallback K=16 at sf0.1+ (2000/16
+    // still > 96 — the measured statement "this corpus outgrew the
+    // ladder", which is the signal a deployment extends the ladder
+    // on). The family gates (q120/q130/q133) pin their K so their
+    // oracles stay static; this gate is where that constant becomes
+    // a measured choice, the same split as q129's threshold vs the
+    // serving gates. 100 TB: three trainings on a fixed-fraction
+    // sample (iters corpus scans, K·dim-row shuffles each),
+    // assignment map-only, occupancy one groupBy(cell) whose output
+    // is K rows, decision a 3-row aggregate riding as a 1-row
+    // broadcast — no driver collect. Reference anchor:
+    // VariantLoad3.java:483-495 (cache capacity sized from the data
+    // it must hold, rebuilt when outgrown — the same discipline on
+    // cell geometry).
+    Q("q134_index_geometry_point",
+      (spark, dir) => {
+        import graft.operators.IvfKmeans
+        val Off = 4000L; val Iters = 2; val OccBudget = 96L
+        val Ladder = Seq(4, 8, 16)
+        val q = table(spark, dir, "embeddings")
+          .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+          .localCheckpoint(true) // 3 trainings + 3 full assignments
+        val sample = q.filter(col("vec_id") % 3 === 0)
+        val occs = Ladder.map { k =>
+          val cents = IvfKmeans.train(sample, k, Iters)
+          // full-corpus occupancy at rung k — ladder row + (if chosen)
+          // the served rollup read it, so materialize once
+          k -> IvfKmeans.assign(q, cents)
+            .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+            .select(col("cid").as("cell"), col("n"))
+            .localCheckpoint(true)
+        }
+        val ladder = occs.map { case (k, o) =>
+          o.agg(count(lit(1)).as("n_cells"), max(col("n")).as("n_max"),
+              sum(col("n")).as("n_total"))
+            .select(lit(k.toLong).as("k"), col("n_cells"), col("n_max"),
+              col("n_total"))
+        }.reduce(_ unionByName _)
+          .localCheckpoint(true) // 3 rows: ladder section + decision
+        val chosen = ladder.agg(coalesce(
+          min(when(col("n_total") <= col("n_cells") * OccBudget, col("k"))),
+          lit(Ladder.max.toLong)).as("k_sel"))
+        val occAll = occs.map { case (k, o) =>
+          o.select(lit(k.toLong).as("k"), col("cell"), col("n"))
+        }.reduce(_ unionByName _)
+        ladder.select(lit("ladder").as("sect"), col("k").as("id"),
+            col("n_cells").as("n1"), col("n_max").as("n2"),
+            col("n_total").as("n3"))
+          .unionByName(chosen.select(lit("chosen").as("sect"),
+            col("k_sel").as("id"), lit(0L).as("n1"), lit(0L).as("n2"),
+            lit(0L).as("n3")))
+          .unionByName(occAll.join(broadcast(chosen), col("k") === col("k_sel"))
+            .select(lit("occ").as("sect"), col("cell").as("id"),
+              col("n").as("n1"), lit(0L).as("n2"), lit(0L).as("n3")))
+          .orderBy(col("sect"), col("id"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        val rungs = Seq(4, 8, 16)
+        val chains = rungs.map { k =>
+          s"""${IvfKmeans.lloydCtes(k, 2, Dim, 4000L,
+               " WHERE vec_id % 3 = 0", pfx = s"g$k")},
+             |${IvfKmeans.spillAssignCte(s"a$k", "fq", Dim,
+               cents = s"g${k}c2", maxProbe = 1)},
+             |o$k AS (SELECT cell, count(*) AS n FROM a$k GROUP BY cell)"""
+            .stripMargin
+        }.mkString(",\n")
+        val ladSql = rungs.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_cells,
+             |    max(n) AS n_max, CAST(sum(n) AS BIGINT) AS n_total FROM o$k"""
+            .stripMargin).mkString("\n  UNION ALL\n  ")
+        val occSql = rungs.map(k =>
+          s"SELECT CAST($k AS BIGINT) AS k, cell, n FROM o$k")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH fq AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 4000) AS qv
+           |  FROM embeddings),
+           |$chains,
+           |lad AS (
+           |  $ladSql),
+           |ch AS (
+           |  SELECT coalesce(min(CASE WHEN n_total <= n_cells * 96 THEN k END),
+           |    16) AS k_sel FROM lad),
+           |ou AS (
+           |  $occSql)
+           |SELECT * FROM (
+           |  SELECT 'ladder' AS sect, k AS id, n_cells AS n1, n_max AS n2,
+           |    n_total AS n3 FROM lad
+           |  UNION ALL
+           |  SELECT 'chosen', k_sel, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |    CAST(0 AS BIGINT) FROM ch
+           |  UNION ALL
+           |  SELECT 'occ', o.cell, o.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  FROM ou o JOIN ch ON o.k = ch.k_sel)
+           |ORDER BY sect, id""".stripMargin
+      }),
+
+    // -- HOT-BUCKET CAP OPERATING POINT: HotBucketCap=32
+    // (DedupConfig.scala) was the last load-bearing dedup constant
+    // nothing measured — VERDICT r11/r12's standing item, and the
+    // gate artifacts/r12_semcap_lostpair.md derived the price formula
+    // for (kept pairs = C(min(m, cap), 2) of C(m, 2)). This gate
+    // turns the formula into a measured choice, q125/q129's
+    // measure -> select -> serve on the text family's cap: the q127
+    // corpus (documents + exact copies of every 7th doc) is extended
+    // with a PLANTED MONSTER FAMILY — 48 more exact copies of the
+    // lowest-doc_id text, the boilerplate flood class the cap exists
+    // to bound (at sf1 the semantic family measured a 20,012-row
+    // family; 48 is enough to make every rung's tradeoff visible
+    // without a quadratic ground truth). Ground truth is EXACT-SET
+    // pair recall — pairs whose full sorted shingle-hash fingerprints
+    // match, Σ C(m,2) over fingerprint families, the precise recall
+    // class capBands' contract promises to preserve through hot
+    // buckets (sub-1.0 near-dup loss is the separately-measured
+    // artifact, r10/r11_hotcap_quality). Ladder caps {16, 32, 64}
+    // each run the capped band self-join; integer TP (same-
+    // fingerprint candidate pairs) and candidate count (the O(m·cap)
+    // price) are measured per rung; the SMALLEST cap meeting the 50%
+    // exact-pair recall floor wins (cheapest bound that keeps
+    // majority copy-pair mass; largest rung as fallback when the
+    // flood outgrows the ladder), and the FULL verified near-dup pair
+    // set is SERVED at the chosen cap via a 1-row broadcast — no
+    // driver collect. Selection is corpus-dependent by design: 64 on
+    // the 500-doc driver corpora (the 49-family dominates: cap 32
+    // keeps 46% < floor), 32 at sf0.1 (724 natural pair-families
+    // outweigh the flood). The oracle replays corpus -> sign -> cap
+    // ladder -> TP/price -> select -> verify-at-chosen end to end
+    // (capBandsCte's `out` naming shares ONE band derivation across
+    // rungs). 100 TB: each rung is q127's shape — both cap windows
+    // partition by bkey(, grp), candidate generation costs one
+    // exchange, hot buckets cost O(m·cap); the ladder multiplies by
+    // its length, a config constant. Reference anchor:
+    // VariantLoad3.java:483-495 (bound the in-flight candidate set,
+    // sized from data, never the corpus).
+    Q("q135_hotcap_operating_point",
+      (spark, dir) => {
+        import graft.functions.MinhashPipeline
+        val Ladder = Seq(16, 32, 64); val FloorPct = 50L
+        val MonsterN = 48
+        val d = table(spark, dir, "documents").select("doc_id", "text")
+        // the planted flood: MonsterN exact copies of the lowest-id
+        // doc. Offset 9e8 is BY CONSTRUCTION clear of both the source
+        // ids (gen_sf key shifts reach k·1e6) and the +100000 copy
+        // plant — a colliding doc_id would make the cap windows'
+        // row_number tie-break nondeterministic (the q64 bug class)
+        val monster = d.orderBy(col("doc_id")).limit(1).select(col("text"))
+          .crossJoin(spark.range(MonsterN.toLong).toDF("i"))
+          .select((col("i") + 900000000L).as("doc_id"), col("text"))
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+          .unionByName(monster)
+        // one signature pass feeds every rung's banding + the verify
+        // sides + the fingerprint ground truth
+        val sig = signedDocsWord(corpus).localCheckpoint(true)
+        val fps = sig.select(col("doc_id"),
+            aggregate(col("hl"), lit(0L), (a, x) => (a * 31 + x) % P).as("fp"))
+          .localCheckpoint(true) // ground truth + 3 rungs' TP tagging
+        val totalTrue = fps.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+          .filter(col("m") >= 2)
+          .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L))
+            .as("total_true")) // 1 row -> broadcast
+        val rungs = Ladder.map { cap =>
+          val capped = MinhashPipeline.capBands(sig, cap)
+            .localCheckpoint(true) // both sides of the self-join
+          cap -> capped.as("a").join(capped.as("b"),
+              col("a.bkey") === col("b.bkey") &&
+                col("a.grp") === col("b.grp") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+            .localCheckpoint(true) // TP/price row + the serving verify
+        }
+        val ladder = rungs.map { case (cap, cand) =>
+          cand
+            .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+              "doc_a")
+            .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+              "doc_b")
+            .agg(coalesce(sum(when(col("fp_a") === col("fp_b"), 1L)
+                .otherwise(0L)), lit(0L)).as("tp"),
+              count(lit(1)).as("n_cand"))
+            .select(lit(cap.toLong).as("cap"), col("tp"), col("n_cand"))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(totalTrue))
+          .localCheckpoint(true) // 3 rows: ladder section + decision
+        val chosen = ladder.agg(coalesce(
+          min(when(col("tp") * 100 >= col("total_true") * FloorPct,
+            col("cap"))),
+          lit(Ladder.max.toLong)).as("cap_sel"))
+        val pairs = rungs.map { case (cap, cand) =>
+          cand
+            .join(sig.select(col("doc_id").as("doc_a"), col("hl").as("hl_a"),
+              col("sz").as("sz_a")), "doc_a")
+            .join(sig.select(col("doc_id").as("doc_b"), col("hl").as("hl_b"),
+              col("sz").as("sz_b")), "doc_b")
+            .filter(sizeRatioOk(col("sz_a"), col("sz_b")))
+            .withColumn("inter",
+              call_function("sorted_inter_count", col("hl_a"), col("hl_b")))
+            .withColumn("jacc_x1000",
+              expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
+            .filter(col("jacc_x1000") >= JaccThreshold)
+            .select(lit(cap.toLong).as("cap"), col("doc_a"), col("doc_b"),
+              col("jacc_x1000"))
+        }.reduce(_ unionByName _)
+        ladder.select(lit("ladder").as("sect"), col("cap").as("id"),
+            col("tp").as("n1"), col("n_cand").as("n2"),
+            col("total_true").as("n3"))
+          .unionByName(chosen.select(lit("chosen").as("sect"),
+            col("cap_sel").as("id"), lit(0L).as("n1"), lit(0L).as("n2"),
+            lit(0L).as("n3")))
+          .unionByName(pairs.join(broadcast(chosen),
+              col("cap") === col("cap_sel"))
+            .select(lit("pair").as("sect"), col("doc_a").as("id"),
+              col("doc_b").as("n1"), col("jacc_x1000").as("n2"),
+              lit(0L).as("n3")))
+          .orderBy(col("sect"), col("id"), col("n1"))
+      },
+      Some {
+        import graft.functions.MinhashPipeline.capBandsCte
+        val rungs = Seq(16, 32, 64)
+        // list_sort: minhashWordCtes' hl is distinct-but-unsorted while
+        // the engine's signedDocsWord hl is sorted by construction
+        val fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(hl)),
+           |      (a, x) -> (a * 31 + x) % ${TF.HashMod})""".stripMargin
+        val caps = rungs.map(cap =>
+          s"""${capBandsCte("c", cap, out = s"k$cap")},
+             |cand$cap AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM k${cap}cap a JOIN k${cap}cap b
+             |    ON a.bkey = b.bkey AND a.grp = b.grp AND a.doc_id < b.doc_id),
+             |row$cap AS (
+             |  SELECT CAST($cap AS BIGINT) AS cap,
+             |    CAST(coalesce(sum(CASE WHEN x.fp = y.fp THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS tp,
+             |    count(*) AS n_cand
+             |  FROM cand$cap c
+             |  JOIN fps x ON x.doc_id = c.doc_a
+             |  JOIN fps y ON y.doc_id = c.doc_b),
+             |pr$cap AS (
+             |  SELECT CAST($cap AS BIGINT) AS cap, doc_a, doc_b, jacc_x1000
+             |  FROM (
+             |    SELECT c.doc_a, c.doc_b,
+             |      CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT) * 1000
+             |        // (x.sz + y.sz - CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT))
+             |        AS jacc_x1000
+             |    FROM cand$cap c
+             |    JOIN cdocs x ON x.doc_id = c.doc_a
+             |    JOIN cdocs y ON y.doc_id = c.doc_b
+             |    WHERE least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7)
+             |  WHERE jacc_x1000 >= $JaccThreshold)""".stripMargin)
+          .mkString(",\n")
+        s"""WITH m0 AS (SELECT text FROM documents ORDER BY doc_id LIMIT 1),
+           |cp AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT 900000000 + g.i AS doc_id, m0.text
+           |  FROM m0, generate_series(0, 47) AS g(i)),
+           |${minhashWordCtes("c", "cp")},
+           |fps AS (SELECT doc_id, $fold AS fp FROM cdocs),
+           |tt AS (
+           |  SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+           |    AS total_true
+           |  FROM (SELECT count(*) AS m FROM fps GROUP BY fp)
+           |  WHERE m >= 2),
+           |$caps,
+           |lad AS (
+           |  SELECT r.cap, r.tp, r.n_cand, t.total_true FROM (
+           |    SELECT * FROM row16 UNION ALL SELECT * FROM row32
+           |    UNION ALL SELECT * FROM row64) r, tt t),
+           |ch AS (
+           |  SELECT coalesce(min(CASE WHEN tp * 100 >= total_true * 50
+           |    THEN cap END), 64) AS cap_sel FROM lad),
+           |prs AS (
+           |  SELECT * FROM pr16 UNION ALL SELECT * FROM pr32
+           |  UNION ALL SELECT * FROM pr64)
+           |SELECT * FROM (
+           |  SELECT 'ladder' AS sect, cap AS id, tp AS n1, n_cand AS n2,
+           |    total_true AS n3 FROM lad
+           |  UNION ALL
+           |  SELECT 'chosen', cap_sel, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |    CAST(0 AS BIGINT) FROM ch
+           |  UNION ALL
+           |  SELECT 'pair', p.doc_a, p.doc_b, p.jacc_x1000, CAST(0 AS BIGINT)
+           |  FROM prs p JOIN ch ON p.cap = ch.cap_sel)
+           |ORDER BY sect, id, n1""".stripMargin
+      }),
+
+    // -- MULTIMODAL INDEX COMPACTION + RETRACTION: the remaining
+    // lifecycle legs on q133's index, completing the third family's
+    // mirror (build+ingest q133 / compact+retract here / retrain is
+    // geometry-only and feature-agnostic, q124). Both operations are
+    // the SAME `Bucketed`/`SemanticIndex` calls q122/q123 prove on the
+    // embedding family — which is the point: the lifecycle machinery
+    // is feature-agnostic, so this gate's work is proving it against
+    // byte-histogram content. Lifecycle: epoch-0 seed (every doc),
+    // wave-1 ingest (exact copies must reject, case-flips accept ->
+    // epoch 1), COMPACT (collapse epoch file sets, grow buckets
+    // nb -> 2nb), then RETRACT the ENTIRE epoch-1 commit set. The
+    // class-level tombstone is deliberate, a feature-resolution fact
+    // this gate documents: 8-bin byte histograms of same-case text
+    // are mutually cos >= 0.998 (measured at sf0.001/0.01/0.1), so
+    // ANY retained same-class row covers a selectively-retracted
+    // member at the 0.9 threshold and the deletion would be
+    // unobservable; retracting the class makes every ghost row
+    // VISIBLE — the probe wave re-sends exact copies of every
+    // retracted vector (+500000) and ALL must re-accept (one
+    // surviving spill row rejects its copy and fails the in-gate
+    // require AND the rollup hash), while copies of retained seeds
+    // (+400000) must all still reject (over-delete detector).
+    // Selective intra-class retraction is q123's already-proven
+    // ground on individually-resolvable 64-dim embeddings. The
+    // oracle is compaction-blind and rebuilds the post-retract store
+    // from the seed alone, so a compaction that loses or duplicates
+    // one row, or a retraction that leaves one ghost, fails the
+    // hash; wave-1 acceptance is hashed via the epoch-11 accounting
+    // row. 100 TB: compaction is ONE bucketed rewrite at the epoch
+    // barrier (q110's cost model), retraction one filtered bucketed
+    // rewrite (or per-wave anti-join until the next compaction,
+    // q112's note); waves stay wave-sized. Reference anchor:
+    // VariantLoad3.java:483-495 (rebuild the bounded structure at
+    // the barrier); SURVEY §5.5 retention discipline.
+    Q("q136_multimodal_compact_retract",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Thresh = 900000L
+        val root = s"${Fixtures.scratchRoot}/mmcr"
+        val tbl = "graft_q136_mm"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val hist = (0 until 8).map(b =>
+          s"size(filter(codes, c -> c div 16 = $b))").mkString(", ")
+        def feats(src: org.apache.spark.sql.DataFrame) = src
+          .selectExpr("vec_id", "transform(split(txt, ''), c -> ascii(c)) AS codes")
+          .selectExpr("vec_id", s"CAST(array($hist) AS array<double>) AS v")
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("qv", IvfKmeans.quantize(
+            transform(col("v"), x => x / col("nrm")), 0L))
+        val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val seed = feats(d.select(col("doc_id").as("vec_id"),
+            col("text").as("txt")))
+          .localCheckpoint(true) // training + epoch-0 write
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 2)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx", cents, nb, Thresh)
+        SemanticIndex.writeEpoch0(h, seed)
+        val w1 = feats(
+          d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 100000L).as("vec_id"), col("text").as("txt"))
+          .unionByName(d.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 200000L).as("vec_id"),
+              upper(col("text")).as("txt"))))
+        val acc1 = SemanticIndex.acceptWave(h, w1)
+        val copy1 = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("vec_id"))
+        require(acc1.join(copy1, Seq("vec_id"), "left_semi").count() == 0L,
+          "an exact byte-copy passed the multimodal accept gate")
+        require(acc1.count() > 0L,
+          "the case-flipped stratum was wholly rejected — accept path dead")
+        SemanticIndex.commit(h, acc1, 1, nb)
+        // ---- THE OPERATIONS UNDER TEST, both at the epoch barrier:
+        // collapse epoch file sets + grow capacity nb -> 2nb, then
+        // tombstone the full epoch-1 commit set (the accepted ids BY
+        // CONSTRUCTION — what the store actually holds)
+        graft.sources.Bucketed.compact(spark, tbl, nb * 2, Seq("cell"), h.path)
+        SemanticIndex.retract(h, acc1.select("vec_id"), nb * 2)
+        // ---- probe wave against the compacted, retracted store
+        val w2 = feats(
+          d.filter(col("doc_id") % 4 === 2)
+            .select((col("doc_id") + 400000L).as("vec_id"), col("text").as("txt"))
+          .unionByName(d.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 500000L).as("vec_id"),
+              upper(col("text")).as("txt"))))
+        val acc2 = SemanticIndex.acceptWave(h, w2)
+        val retainedCopies = d.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 400000L).as("vec_id"))
+        require(acc2.join(retainedCopies, Seq("vec_id"), "left_semi")
+            .count() == 0L,
+          "a copy of a retained seed re-entered — over-delete or ghost accept")
+        val retractedCopies = d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 500000L).as("vec_id"))
+          .localCheckpoint(true) // count + semi-join
+        val nRetr = retractedCopies.count()
+        val nAcc = acc2.join(retractedCopies, Seq("vec_id"), "left_semi").count()
+        require(nRetr > 0L, "empty retraction stratum — gate is vacuous")
+        require(nAcc == nRetr,
+          s"only $nAcc of $nRetr copies of retracted content re-accepted — " +
+            "ghost index rows survive retraction")
+        SemanticIndex.commit(h, acc2, 2, nb * 2)
+        // epoch-11 accounting row: wave-1's accept set is retracted
+        // from the store, so the rollup alone would not hash it
+        SemanticIndex.rollup(h).unionByName(
+            acc1.agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_id"))
+              .select(lit(11).as("epoch"), col("n_vecs"), col("sum_id")))
+          .orderBy(col("epoch"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
+           |${mmFeatsCte("f0", "(SELECT doc_id AS vec_id, text AS txt FROM dsrc)")},
+           |${IvfKmeans.lloydCtes(8, 2, 8, 0L,
+              src = "(SELECT vec_id, [x / nrm FOR x IN v] AS embedding FROM f0)")},
+           |${IvfKmeans.spillAssignCte("i0", "f0", 8, Seq("v", "nrm"), cents = "c2")},
+           |${mmFeatsCte("w1f",
+              """(SELECT doc_id + 100000 AS vec_id, text AS txt FROM dsrc
+                 |      WHERE doc_id % 5 = 0
+                 |      UNION ALL
+                 |      SELECT doc_id + 200000, upper(text) FROM dsrc
+                 |      WHERE doc_id % 5 = 1)""".stripMargin)},
+           |${IvfKmeans.spillAssignCte("p1", "w1f", 8, Seq("v", "nrm", "qv"),
+              cents = "c2", maxProbe = 1)},
+           |${mmWaveCte("p1", "i0", "dd1", "ac1")},
+           |${mmFeatsCte("w2f",
+              """(SELECT doc_id + 400000 AS vec_id, text AS txt FROM dsrc
+                 |      WHERE doc_id % 4 = 2
+                 |      UNION ALL
+                 |      SELECT doc_id + 500000, upper(text) FROM dsrc
+                 |      WHERE doc_id % 5 = 1)""".stripMargin)},
+           |${IvfKmeans.spillAssignCte("p2", "w2f", 8, Seq("v", "nrm", "qv"),
+              cents = "c2", maxProbe = 1)},
+           |${mmWaveCte("p2", "i0", "dd2", "ac2")},
+           |committed AS (
+           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
+           |  UNION ALL SELECT 2, vec_id FROM ac2
+           |  UNION ALL SELECT 11, vec_id FROM ac1)
            |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
            |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
       })

@@ -216,4 +216,45 @@ class PlanAssertionsSpec extends SparkSpec {
       spark.conf.set("graft.planOnly", "false")
     }
   }
+
+  test("q134: geometry ladder decision rides as a broadcast — no corpus re-key, no cartesian") {
+    // the rung occupancies and ladder rows are materialized behind
+    // localCheckpoints (each is K-row scale); the visible plan is the
+    // decision + served-rollup assembly. The chosen-K frame is 1 row
+    // and must join the tagged occupancy union as a broadcast, never
+    // re-keying anything.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q134_index_geometry_point")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        "the 1-row chosen-K frame must broadcast into the serving filter\n" + p)
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      assert(badKeys.isEmpty,
+        s"the decision/serve assembly needs no hash exchange at all (found: $badKeys)\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q135: cap-ladder serving — verify joins keyed by pair ids only, chosen cap broadcasts") {
+    // each rung's capped candidate frame is materialized behind a
+    // localCheckpoint (the q127-shape band join, already plan-gated
+    // there); the visible plan is the 3-rung verify + the 1-row
+    // chosen-cap broadcast filter. No all-pairs leg anywhere, and the
+    // only hash exchanges are the candidate-pair verify joins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q135_hotcap_operating_point")
+      assert(!p.contains("CartesianProduct"), p)
+      val badKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1))
+        .filterNot(k => k.contains("doc_a") || k.contains("doc_b")).toList
+      assert(badKeys.isEmpty,
+        s"only the verify pair ids may key a hash exchange (found: $badKeys)\n" + p)
+      assert(p.contains("sorted_inter_count"),
+        "verify must be the native two-pointer intersect\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
