@@ -120,6 +120,18 @@ SLOW_ORACLE_TIMEOUT = {
     "q118_semantic_dedup_ivf": 900,
     "q131_semantic_hotcell_cap": 900,
     "q46_dedup_embedding": 900,
+    # r13 additions — the r12/r13 gates. q133/q136 replay the
+    # multimodal feature->train->wave chain (q120's cost class at
+    # dim 8, cheaper per pair but the ascii() feature CTE scans every
+    # character); q134 runs THREE Lloyd chains (K ladder) + three full
+    # assignments over the embeddings (q124's two-chain class + one);
+    # q135 is q127's signing CTEs + three capped band joins (bounded
+    # candidates by construction — the signing dominates, q127's
+    # story).
+    "q133_multimodal_index": 900,
+    "q134_index_geometry_point": 900,
+    "q135_hotcap_operating_point": 900,
+    "q136_multimodal_compact_retract": 900,
 }
 
 
