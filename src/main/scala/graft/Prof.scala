@@ -60,6 +60,10 @@ object Prof {
     // brute-force top-3 over the FULL probe set, with per-stage
     // timings (train / assign / search / brute)
     if (args.contains("mmrecall")) { profMmRecall(spark, docs); spark.stop(); return }
+    // `runMain graft.Prof mmlife` -> per-stage attribution of the
+    // q133/q136 multimodal index lifecycle (the two most expensive
+    // steady-bench rows after r13)
+    if (args.contains("mmlife")) { profMmLife(spark, sfDir); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -550,6 +554,82 @@ object Prof {
     val a3 = time("q128 wave3 accept")(SemanticIndex.acceptWave(h2, w3))
     time("q128 wave3 commit")(SemanticIndex.commit(h2, a3, 3, nb * 2))
     time("q128 rollup")(SemanticIndex.rollup(h2).collect())
+  }
+
+  /** Per-stage attribution of the q133/q136 multimodal-lifecycle cost
+    * (14.5 s / 13.0 s steady at sf0.1 — the two most expensive bench
+    * rows after r13). Mirrors q133's build+ingest lifecycle plus
+    * q136's compact/retract legs through the SAME operators, each
+    * stage forced in isolation, so "where do 27 s go" names stages:
+    * the char-level byte-histogram feature extraction over the full
+    * corpus, the Lloyd chain, the bucketed store writes, and the
+    * per-wave accept joins — not a mystery total. */
+  private def profMmLife(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.{IvfKmeans, SemanticIndex}
+    import graft.functions.{VectorFunctions => VF}
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val Thresh = 900000L
+    val root = s"${graft.queries.Fixtures.scratchRoot}/profmmlife"
+    val tbl = "graft_prof_mmlife"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.queries.Fixtures.rmrf(new java.io.File(root))
+    val hist = (0 until 8).map(b =>
+      s"size(filter(codes, c -> c div 16 = $b))").mkString(", ")
+    def feats(src: org.apache.spark.sql.DataFrame) = src
+      .selectExpr("vec_id", "transform(split(txt, ''), c -> ascii(c)) AS codes")
+      .selectExpr("vec_id", s"CAST(array($hist) AS array<double>) AS v")
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .withColumn("qv", IvfKmeans.quantize(
+        transform(col("v"), x => x / col("nrm")), 0L))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = time("mm feats(corpus)+ckpt")(
+      feats(d.select(col("doc_id").as("vec_id"), col("text").as("txt")))
+        .localCheckpoint(true))
+    val cents = time("mm train K=8 iters=2")(
+      IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 2)
+        .localCheckpoint(true))
+    val nb = graft.functions.DedupConfig.IndexBuckets
+    val h = SemanticIndex.Handle(spark, tbl, s"$root/idx", cents, nb, Thresh)
+    time("mm writeEpoch0 (bucketed)")(SemanticIndex.writeEpoch0(h, seed))
+    val w1 = feats(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("vec_id"), col("text").as("txt"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000L).as("vec_id"),
+          upper(col("text")).as("txt"))))
+    val acc1 = time("mm wave1 accept (feats+join)")(SemanticIndex.acceptWave(h, w1))
+    val copy1 = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("vec_id"))
+    time("mm wave1 stratum requires")({
+      acc1.join(copy1, Seq("vec_id"), "left_semi").count()
+      acc1.count()
+    })
+    time("mm wave1 commit")(SemanticIndex.commit(h, acc1, 1, nb))
+    time("mm compact nb->2nb")(
+      graft.sources.Bucketed.compact(spark, tbl, nb * 2, Seq("cell"), h.path))
+    time("mm retract epoch-1 set")(
+      SemanticIndex.retract(h, acc1.select("vec_id"), nb * 2))
+    val w2 = feats(
+      d.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 400000L).as("vec_id"), col("text").as("txt"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 500000L).as("vec_id"),
+          upper(col("text")).as("txt"))))
+    val acc2 = time("mm wave2 accept (feats+join)")(SemanticIndex.acceptWave(h, w2))
+    time("mm wave2 ghost requires")({
+      val retracted = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 500000L).as("vec_id")).localCheckpoint(true)
+      retracted.count()
+      acc2.join(retracted, Seq("vec_id"), "left_semi").count()
+    })
+    time("mm wave2 commit")(SemanticIndex.commit(h, acc2, 2, nb * 2))
+    time("mm rollup")(SemanticIndex.rollup(h).collect())
   }
 
   /** Per-stage attribution for q58_multimodal_embed and

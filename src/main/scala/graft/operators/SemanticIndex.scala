@@ -65,12 +65,22 @@ object SemanticIndex {
         "qv", h.cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("cell"))
     val idx = h.spark.table(h.table)
-      .select(col("cell"), col("v").as("iv"), col("nrm").as("inrm"))
-    val dup = probe.join(idx, Seq("cell"))
-      .filter(VF.quantize1e6(
-        VF.dot(col("v"), col("iv")) / (col("nrm") * col("inrm"))) >= h.threshX1e6)
-      .select("vec_id").distinct()
-    probe.join(dup, Seq("vec_id"), "left_anti")
+      .select(col("cell").as("icell"), col("v").as("iv"), col("nrm").as("inrm"))
+    // ONE anti join, cell-keyed with the cosine as residual condition:
+    // a probe row is accepted iff NO stored same-cell row reaches the
+    // threshold. Anti-join semantics short-circuit per probe row at
+    // the first qualifying neighbor, so the match set is never
+    // materialized — the prior join+filter+distinct+anti formulation
+    // built every (probe, neighbor) pair first, which exploded on
+    // low-resolution feature spaces where whole cells are mutual
+    // near-dups (byte histograms: same-case text is pairwise
+    // cos >= 0.998; measured 4.27 s -> sub-second on q133's wave 1
+    // at sf0.1). Result set is IDENTICAL by construction.
+    probe.join(idx,
+        col("cell") === col("icell") &&
+          VF.quantize1e6(VF.dot(col("v"), col("iv")) /
+            (col("nrm") * col("inrm"))) >= h.threshX1e6,
+        "left_anti")
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"))
       .localCheckpoint(true)
   }
