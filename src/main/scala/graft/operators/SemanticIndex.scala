@@ -76,13 +76,18 @@ object SemanticIndex {
     // near-dups (byte histograms: same-case text is pairwise
     // cos >= 0.998; measured 4.27 s -> sub-second on q133's wave 1
     // at sf0.1). Result set is IDENTICAL by construction.
-    probe.join(idx,
+    val acc = probe.join(idx,
         col("cell") === col("icell") &&
           VF.quantize1e6(VF.dot(col("v"), col("iv")) /
             (col("nrm") * col("inrm"))) >= h.threshX1e6,
         "left_anti")
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"))
-      .localCheckpoint(true)
+    // graft.planOnly (SemanticIndexPlanSpec): return the declarative
+    // plan un-checkpointed so the anti-join shape is assertable;
+    // normal runs materialize — the result feeds the spill-commit AND
+    // whatever count/replay the caller does
+    if (h.spark.conf.getOption("graft.planOnly").contains("true")) acc
+    else acc.localCheckpoint(true)
   }
 
   /** Commit an accepted frame as `epoch`: spill-assign and append.
