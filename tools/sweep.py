@@ -30,6 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import cache_key  # noqa: E402 — shared key derivation
 
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
+    # (r13 note: "explodes with SF" is an sf1 statement — at sf0.1
+    # five of these seven primed inline this round (q41 69s, q43 386s,
+    # q92 18s, q108 7.5s, q119 29s; artifacts/r13_sweep_sf01.txt) and
+    # swept as real rows; only q52/q88 exceeded a 30-min priming cap
+    # at sf0.1)
     "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard",
     "q52_dedup_clusters", "q88_dedup_pipeline",
     # q119's BLOCKING half got the norm hoist like q118, but its
