@@ -606,7 +606,7 @@ object Prof {
     val acc1 = time("mm wave1 accept (feats+join)")(SemanticIndex.acceptWave(h, w1))
     val copy1 = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000L).as("vec_id"))
-    time("mm wave1 stratum requires")({
+    time("mm wave1 stratum counts")({
       acc1.join(copy1, Seq("vec_id"), "left_semi").count()
       acc1.count()
     })
@@ -622,11 +622,14 @@ object Prof {
         .select((col("doc_id") + 500000L).as("vec_id"),
           upper(col("text")).as("txt"))))
     val acc2 = time("mm wave2 accept (feats+join)")(SemanticIndex.acceptWave(h, w2))
-    time("mm wave2 ghost requires")({
-      val retracted = d.filter(col("doc_id") % 5 === 1)
+    // timing-only probe counts: the +500000 frame is the wave-2
+    // RE-SENT copies (not the retracted epoch-1 set acc1); the gate's
+    // require assertions live in q136, this mirrors its cost shape
+    time("mm wave2 probe counts")({
+      val resent = d.filter(col("doc_id") % 5 === 1)
         .select((col("doc_id") + 500000L).as("vec_id")).localCheckpoint(true)
-      retracted.count()
-      acc2.join(retracted, Seq("vec_id"), "left_semi").count()
+      resent.count()
+      acc2.join(resent, Seq("vec_id"), "left_semi").count()
     })
     time("mm wave2 commit")(SemanticIndex.commit(h, acc2, 2, nb * 2))
     time("mm rollup")(SemanticIndex.rollup(h).collect())

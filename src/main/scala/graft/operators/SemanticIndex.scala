@@ -58,7 +58,17 @@ object SemanticIndex {
     * with NO stored neighbor at >= threshX1e6 cosine in their crank-1
     * probe cell. Wave needs (vec_id, v, nrm, qv). Materialized — the
     * result feeds the spill-commit AND whatever count/replay the
-    * caller does. */
+    * caller does — EXCEPT under `graft.planOnly`, a test-only escape
+    * hatch (SemanticIndexPlanSpec, always unset in a finally block)
+    * that returns the un-checkpointed declarative plan so the
+    * anti-join shape is assertable; a post-commit replay under that
+    * conf would re-evaluate against the already-committed store.
+    *
+    * Precondition: wave vec_ids must be unique (or duplicate vec_id
+    * rows must carry identical vectors). The anti join keeps or drops
+    * each ROW independently; the pre-r13 distinct+anti-on-vec_id
+    * shape dropped every row of a matched vec_id. All callers build
+    * waves keyed 1:1 by vec_id, where the two coincide. */
   def acceptWave(h: Handle, w: DataFrame): DataFrame = {
     val probe = IvfKmeans.rankCells(
         w.select(col("vec_id"), col("v"), col("nrm"), col("qv")),
@@ -75,7 +85,8 @@ object SemanticIndex {
     // low-resolution feature spaces where whole cells are mutual
     // near-dups (byte histograms: same-case text is pairwise
     // cos >= 0.998; measured 4.27 s -> sub-second on q133's wave 1
-    // at sf0.1). Result set is IDENTICAL by construction.
+    // at sf0.1). Result set is IDENTICAL by construction given the
+    // unique-vec_id wave precondition in the scaladoc above.
     val acc = probe.join(idx,
         col("cell") === col("icell") &&
           VF.quantize1e6(VF.dot(col("v"), col("iv")) /

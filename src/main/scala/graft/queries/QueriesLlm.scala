@@ -4687,11 +4687,17 @@ object QueriesLlm {
     // the chosen K are all hashed; the oracle re-derives all three
     // (three prefixed Lloyd chains), so a drift anywhere in
     // measure -> select -> serve fails the gate. Selection is
-    // corpus-dependent by design: K=8 on the 500-vector driver
-    // corpora (mean 500/8 <= 96), fallback K=16 at sf0.1+ (2000/16
-    // still > 96 — the measured statement "this corpus outgrew the
-    // ladder", which is the signal a deployment extends the ladder
-    // on). The family gates (q120/q130/q133) pin their K so their
+    // corpus-dependent by design, and the ladder is corpus-SCALED
+    // (geometric {4..256}, r13 VERDICT item 1 — the r13 arithmetic
+    // ladder {4,8,16} topped out below bench scale, so sf0.1+ only
+    // ever exercised the fallback): K=8 on the 500-vector driver
+    // corpora (mean 500/8 <= 96), a REAL above-8 selection K=64 at
+    // sf0.1 (2000/16 = 125 > 96 but 2000/64 fits), K=256 at sf1
+    // (20000/64 > 96, 20000/256 = 78 fits). Rungs above the corpus
+    // degrade honestly: seeding is rank-based (ORDER BY vec_id
+    // LIMIT k in both engines), so K=256 over a 167-vector held-out
+    // third trains 167 effective cells and the occupancy math stays
+    // exact. The family gates (q120/q130/q133) pin their K so their
     // oracles stay static; this gate is where that constant becomes
     // a measured choice, the same split as q129's threshold vs the
     // serving gates. 100 TB: three trainings on a fixed-fraction
@@ -4706,7 +4712,7 @@ object QueriesLlm {
       (spark, dir) => {
         import graft.operators.IvfKmeans
         val Off = 4000L; val Iters = 2; val OccBudget = 96L
-        val Ladder = Seq(4, 8, 16)
+        val Ladder = Seq(4, 8, 16, 64, 256)
         val q = table(spark, dir, "embeddings")
           .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
           .localCheckpoint(true) // 3 trainings + 3 full assignments
@@ -4746,7 +4752,7 @@ object QueriesLlm {
       },
       Some {
         import graft.operators.IvfKmeans
-        val rungs = Seq(4, 8, 16)
+        val rungs = Seq(4, 8, 16, 64, 256)
         val chains = rungs.map { k =>
           s"""${IvfKmeans.lloydCtes(k, 2, Dim, 4000L,
                " WHERE vec_id % 3 = 0", pfx = s"g$k")},
@@ -4772,7 +4778,7 @@ object QueriesLlm {
            |  $ladSql),
            |ch AS (
            |  SELECT coalesce(min(CASE WHEN n_total <= n_cells * 96 THEN k END),
-           |    16) AS k_sel FROM lad),
+           |    256) AS k_sel FROM lad),
            |ou AS (
            |  $occSql)
            |SELECT * FROM (

@@ -56,7 +56,13 @@ class SemanticIndexPlanSpec extends SparkSpec {
       // the bucketed store side enters the join without one
       val keys = "Exchange hashpartitioning\\(([^)]*)".r
         .findAllMatchIn(p).map(_.group(1)).toList
-      val bad = keys.filterNot(_.contains("cell"))
+      // the probe column is `cell#N`; the store-side key is `icell#N`
+      // and must NOT slip through on the substring — match the word
+      // boundary and reject icell explicitly so this assertion guards
+      // the store-side bucket-scan property on its own
+      val bad = keys.filterNot(k =>
+        "(^|[^A-Za-z0-9_])cell#".r.findFirstIn(k).isDefined &&
+          !k.contains("icell#"))
       assert(bad.isEmpty,
         s"only the wave's cell shuffle may hash-exchange (found: $bad)\n$p")
       assert(keys.size <= 1,
