@@ -64,6 +64,10 @@ object Prof {
     // q133/q136 multimodal index lifecycle (the two most expensive
     // steady-bench rows after r13)
     if (args.contains("mmlife")) { profMmLife(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof compactlife` -> per-stage attribution of the
+    // q110 batch epoch-compaction lifecycle (the r13 steady bench's
+    // one >0.9s r11->r13 mover, VERDICT r13 item 4)
+    if (args.contains("compactlife")) { profCompactLife(spark, sfDir); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -633,6 +637,78 @@ object Prof {
     })
     time("mm wave2 commit")(SemanticIndex.commit(h, acc2, 2, nb * 2))
     time("mm rollup")(SemanticIndex.rollup(h).collect())
+  }
+
+  /** Per-stage attribution of the q110 epoch-compaction lifecycle —
+    * the one >0.9 s r11→r13 steady-bench mover (4.81 → 5.78 s,
+    * VERDICT r13 item 4). Mirrors q110's exact stage sequence (seed
+    * index writes, wave-1 accept+commit, BOTH table compactions at
+    * the barrier, wave-2 accept at the doubled bucket count, commit,
+    * rollup) with count/collect barriers per stage so the drift names
+    * a stage, not a query. */
+  private def profCompactLife(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, acceptAgainstIndex}
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val root = s"${graft.queries.Fixtures.scratchRoot}/profcompact"
+    val docPath = s"$root/idx_docs"; val bandPath = s"$root/idx_bands"
+    val docTable = "graft_profcl_docs"; val bandTable = "graft_profcl_bands"
+    spark.sql(s"DROP TABLE IF EXISTS $docTable")
+    spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+    graft.queries.Fixtures.rmrf(new java.io.File(root))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+      .select("doc_id", "lang", "text")
+    val nb = graft.functions.DedupConfig.IndexBuckets
+    val seed = time("cl seed sign+ckpt")(signedDocs(corpus).localCheckpoint(true))
+    time("cl seed write docs")(graft.sources.Bucketed.writeBucketed(
+      seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+        .withColumn("epoch", lit(0)),
+      docTable, nb, Seq("doc_id"), path = Some(docPath)))
+    time("cl seed write bands")(graft.sources.Bucketed.writeBucketed(
+      bandKeysOf(seed), bandTable, nb, Seq("bkey"), path = Some(bandPath)))
+    def commit(epoch: Int, acc: org.apache.spark.sql.DataFrame, b: Int): Unit = {
+      graft.sources.Bucketed.writeBucketed(
+        acc.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+          .withColumn("epoch", lit(epoch)),
+        docTable, b, Seq("doc_id"), mode = "append", path = Some(docPath))
+      graft.sources.Bucketed.writeBucketed(bandKeysOf(acc),
+        bandTable, b, Seq("bkey"), mode = "append", path = Some(bandPath))
+      spark.catalog.refreshByPath(docPath)
+      spark.catalog.refreshByPath(bandPath)
+    }
+    val w1 = corpus.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", reverse(col("text"))))
+    val w2 = corpus.filter(col("doc_id") % 20 === 4)
+      .withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("text", reverse(col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 20 === 8)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("text", reverse(col("text"))))
+    val s1 = time("cl wave1 sign+ckpt")(signedDocs(w1).localCheckpoint(true))
+    val acc1 = time("cl wave1 accept+ckpt")(
+      acceptAgainstIndex(s1, docTable, bandTable).localCheckpoint(true))
+    time("cl wave1 commit")(commit(1, acc1, nb))
+    time("cl compact docs nb->2nb")(
+      graft.sources.Bucketed.compact(spark, docTable, nb * 2, Seq("doc_id"), docPath))
+    time("cl compact bands nb->2nb")(
+      graft.sources.Bucketed.compact(spark, bandTable, nb * 2, Seq("bkey"), bandPath))
+    val s2 = time("cl wave2 sign+ckpt")(signedDocs(w2).localCheckpoint(true))
+    val acc2 = time("cl wave2 accept+ckpt")(
+      acceptAgainstIndex(s2, docTable, bandTable).localCheckpoint(true))
+    time("cl wave2 commit")(commit(2, acc2, nb * 2))
+    time("cl rollup")(spark.table(docTable)
+      .groupBy(col("epoch"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("epoch"), col("lang")).collect())
   }
 
   /** Per-stage attribution for q58_multimodal_embed and

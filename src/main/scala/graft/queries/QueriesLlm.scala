@@ -132,16 +132,41 @@ object QueriesLlm {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
   }
 
-  /** DuckDB CTE fragment producing the same near-dup pairs (plain
-    * quadratic form); expects `sh` from [[shCte]] in scope. */
+  /** DuckDB CTE fragment producing the same near-dup pairs (exact
+    * quadratic form, r14 cost shape); expects `sh` from [[shCte]] in
+    * scope. Three semantics-free rewrites over the r13 form, which
+    * stalled q52's sf0.1 priming past the 30-min cap:
+    *  - shingles map through an exact dictionary (string → dense id,
+    *    collision-free by construction) so the per-pair intersect
+    *    runs on sorted INT lists, not ~250-element VARCHAR lists;
+    *  - per-doc set size `sz` is hoisted once and the union size is
+    *    derived as sz_a + sz_b - inter (lists are distinct), dropping
+    *    the per-pair list_distinct(list_concat);
+    *  - the size-ratio necessary condition (DedupConfig.sizeRatioOk:
+    *    J >= 0.7 requires 10·min >= 7·max) joins as a predicate —
+    *    the same cut the engine applies, provably result-free.
+    * `pairs` is MATERIALIZED: q52's recursive closure references it
+    * through `edges` on every fringe round, and un-materialized DuckDB
+    * CTEs re-inline — the r13 oracle re-ran the quadratic scan per
+    * recursion round (the actual infeasibility, not the scan itself:
+    * measured 148 s total at sf0.1 once materialized). */
   private def pairsCteSql: String =
-    s"""pairs AS (
+    s"""shdict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
+       |           FROM (SELECT DISTINCT unnest(sh) AS s FROM sh)),
+       |shd AS MATERIALIZED (
+       |  SELECT u.doc_id, any_value(u.lang) AS lang,
+       |    list_sort(list(d.sid)) AS ids, count(*) AS sz
+       |  FROM (SELECT doc_id, lang, unnest(sh) AS s FROM sh) u
+       |  JOIN shdict d ON d.s = u.s
+       |  GROUP BY u.doc_id),
+       |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |      (len(list_intersect(a.sh, b.sh)) * 1000)
-       |        // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
-       |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-       |  WHERE jacc_x1000 >= $JaccThreshold)""".stripMargin
+       |      CAST(len(list_intersect(a.ids, b.ids)) AS BIGINT) AS inter,
+       |      a.sz + b.sz AS szsum
+       |    FROM shd a JOIN shd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7)
+       |  WHERE inter * 1000 // (szsum - inter) >= $JaccThreshold)""".stripMargin
 
   // ---- shared DuckDB fragments (mirror the Spark expressions) --------
 
@@ -1159,7 +1184,7 @@ object QueriesLlm {
       Some(
         s"""WITH RECURSIVE $shCte,
            |$pairsCteSql,
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT doc_a AS a, doc_b AS b FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (
@@ -1408,16 +1433,24 @@ object QueriesLlm {
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            |    AND a.doc_id < b.doc_id),
-           |pairs AS (
+           |shdict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
+           |           FROM (SELECT DISTINCT unnest(sh) AS s FROM sh)),
+           |shd AS MATERIALIZED (
+           |  SELECT u.doc_id, list_sort(list(d.sid)) AS ids, count(*) AS sz
+           |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) u
+           |  JOIN shdict d ON d.s = u.s
+           |  GROUP BY u.doc_id),
+           |pairs AS MATERIALIZED (
            |  SELECT doc_a, doc_b FROM (
            |    SELECT c.doc_a, c.doc_b,
-           |      (len(list_intersect(x.sh, y.sh)) * 1000)
-           |        // len(list_distinct(list_concat(x.sh, y.sh))) AS jacc_x1000
+           |      CAST(len(list_intersect(x.ids, y.ids)) AS BIGINT) AS inter,
+           |      x.sz + y.sz AS szsum
            |    FROM cand c
-           |    JOIN sh x ON x.doc_id = c.doc_a
-           |    JOIN sh y ON y.doc_id = c.doc_b)
-           |  WHERE jacc_x1000 >= $JaccThreshold),
-           |edges AS (
+           |    JOIN shd x ON x.doc_id = c.doc_a
+           |    JOIN shd y ON y.doc_id = c.doc_b
+           |    WHERE least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7)
+           |  WHERE inter * 1000 // (szsum - inter) >= $JaccThreshold),
+           |edges AS MATERIALIZED (
            |  SELECT doc_a AS a, doc_b AS b FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (
@@ -5124,6 +5157,246 @@ object QueriesLlm {
            |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM i0)
            |  UNION ALL SELECT 2, vec_id FROM ac2
            |  UNION ALL SELECT 11, vec_id FROM ac1)
+           |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+           |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- SELECTIVE multimodal retraction (q123's per-entity shape on
+    // the third family): q136 measured WHY its 8-bin byte histograms
+    // force class-level retraction (same-case text pairwise
+    // cos >= 0.998 — any retained sibling covers a selectively
+    // retracted member at the 0.9 threshold). This gate swaps in a
+    // feature space with MEASURED entity resolution and proves
+    // single-entity retraction is observable. Features: hashed
+    // word-bigram 61-bin histograms over the byte stream tokenized at
+    // whitespace — bins = (polyhash(tok_i)*31 + polyhash(tok_{i+1}))
+    // % 61. Byte-level bins measurably CANNOT resolve this corpus at
+    // any width (max inter-doc cos 0.9999 at 37 byte-bigram bins —
+    // the r13 "32-bin variant" hypothesis is dead), while word
+    // granularity measures p99 inter-doc cos 0.69, far under the
+    // family threshold; 61 is prime so case variants never alias
+    // (any M dividing 32*(31+1)=1024 maps case-shifted bigrams to
+    // one bin). Full numbers: artifacts/r14_mmselect_features.md.
+    // Because the corpus deliberately contains near-dup families
+    // (and gen_sf corpora carry 10x exact content copies), the
+    // retraction target is SELECTED BY MEASUREMENT, not assumed:
+    // every seed content re-probes its own crank-1 cell against the
+    // store and counts FOREIGN covers (cos >= Thresh with a
+    // DIFFERENT text fingerprint); the lowest-id content with zero
+    // foreign covers is the entity X — its only covers are its own
+    // exact copies — and the next such content (different
+    // fingerprint) is the retained control Y. Tombstone = ALL store
+    // rows carrying X's fingerprint (per-ENTITY retraction: a
+    // takedown removes the content including its key-shifted copies
+    // — vs q136's per-class set and q123's planted-id frame). After
+    // retraction, re-sent copies of X (+7e8) MUST all accept — the
+    // observability claim: no ghost spill rows AND no sub-threshold
+    // neighbor covers them — while re-sent copies of Y (+8e8) MUST
+    // all reject (over-delete detector). X, Y, the tombstone set,
+    // and the post-retract store rollup are all hashed; the oracle
+    // re-derives feature -> train -> spill -> cover analysis ->
+    // selection -> tombstone -> probe end to end. 100 TB: the cover
+    // analysis is ONE cell-blocked join (the acceptWave shape,
+    // bounded by cell occupancy), selection rides as 1-row
+    // broadcasts, the retraction is the q112/q123 filtered rewrite.
+    // Reference anchor: VariantPostProcessing.java:774-846
+    // (per-entity, not per-class, sequence bookkeeping).
+    Q("q137_multimodal_selective_retract",
+      (spark, dir) => {
+        import graft.operators.{IvfKmeans, SemanticIndex}
+        val Thresh = 900000L; val FD = 61
+        val root = s"${Fixtures.scratchRoot}/mmsel"
+        val tbl = "graft_q137_mm"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Fixtures.rmrf(new java.io.File(root))
+        val histD = (0 until FD).map(b =>
+          s"size(filter(bg, x -> x = $b))").mkString(", ")
+        def feats(src: org.apache.spark.sql.DataFrame) = src // (vec_id, txt)
+          .select(col("vec_id"), TF.fingerprint(col("txt")).as("fp"),
+            TF.tokens(lower(col("txt"))).as("t"))
+          .filter(size(col("t")) >= 2)
+          .withColumn("bg", transform(sequence(lit(1), size(col("t")) - 1),
+            i => (TF.polyHash(element_at(col("t"), i)) * 31 +
+              TF.polyHash(element_at(col("t"), i + 1))) % FD))
+          .selectExpr("vec_id", "fp",
+            s"CAST(array($histD) AS array<double>) AS v")
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("qv", IvfKmeans.quantize(
+            transform(col("v"), x => x / col("nrm")), 0L))
+        val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val seed = feats(d.select(col("doc_id").as("vec_id"),
+            col("text").as("txt")))
+          .localCheckpoint(true) // train + epoch-0 + cover sides + probes
+        val cents = IvfKmeans.train(seed.select(col("vec_id"), col("qv")), 8, 2)
+          .localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        val h = SemanticIndex.Handle(spark, tbl, s"$root/idx", cents, nb, Thresh)
+        // the index CARRIES the entity fingerprint as metadata (the
+        // per-entity bookkeeping the reference anchor keeps) — so the
+        // cover analysis reads fp off the bucket scan with no store
+        // re-key, and the fingerprint-keyed tombstone derives from
+        // the store itself
+        graft.sources.Bucketed.writeBucketed(
+          SemanticIndex.spilled(h, seed, Seq("fp")).withColumn("epoch", lit(0)),
+          tbl, nb, Seq("cell"), path = Some(h.path))
+        // cover analysis: each content re-probes its crank-1 cell; a
+        // cover is FOREIGN iff its text fingerprint differs. One
+        // cell-keyed join — the acceptWave shape with an fp tag.
+        val p0 = IvfKmeans.rankCells(
+            seed.select(col("vec_id"), col("fp"), col("v"), col("nrm"),
+              col("qv")), "qv", cents, 1)
+          .select(col("vec_id"), col("fp"), col("v"), col("nrm"), col("cell"))
+        val store0 = h.spark.table(tbl)
+          .select(col("cell").as("icell"), col("fp").as("ifp"),
+            col("v").as("iv"), col("nrm").as("inrm"))
+        val nf = p0.join(store0,
+            col("cell") === col("icell") &&
+              VF.quantize1e6(VF.dot(col("v"), col("iv")) /
+                (col("nrm") * col("inrm"))) >= Thresh)
+          .groupBy(col("vec_id"), col("fp"))
+          .agg(sum(when(col("ifp") =!= col("fp"), 1L).otherwise(0L))
+            .as("n_foreign"))
+          .localCheckpoint(true) // x and y selections both read it
+        val xsel = nf.filter(col("n_foreign") === 0)
+          .agg(min(col("vec_id")).as("x_id")) // 1 row
+        val fpx = seed.join(broadcast(xsel), col("vec_id") === col("x_id"))
+          .select(col("fp").as("fp_x")) // 1 row
+        val ysel = nf.filter(col("n_foreign") === 0)
+          .crossJoin(broadcast(fpx))
+          .filter(col("fp") =!= col("fp_x"))
+          .agg(min(col("vec_id")).as("y_id")) // 1 row
+        val tomb = seed.crossJoin(broadcast(fpx))
+          .filter(col("fp") === col("fp_x"))
+          .select(col("vec_id"))
+          .localCheckpoint(true) // retract + probe stratum + accounting
+        require(tomb.count() > 0L,
+          "empty tombstone — cover analysis found no self-only entity")
+        SemanticIndex.retract(h, tomb, nb)
+        // probe strata reuse the seed feature rows under shifted ids
+        // (fp rides along so the epoch-2 commit keeps the store's
+        // metadata schema; acceptWave itself ignores it)
+        val probeX = seed.join(tomb, Seq("vec_id"), "left_semi")
+          .select((col("vec_id") + 700000000L).as("vec_id"),
+            col("fp"), col("v"), col("nrm"), col("qv"))
+          .localCheckpoint(true) // wave + expected-count requires
+        val probeY = seed.join(broadcast(ysel), col("vec_id") === col("y_id"))
+          .select((col("vec_id") + 800000000L).as("vec_id"),
+            col("fp"), col("v"), col("nrm"), col("qv"))
+          .localCheckpoint(true)
+        val wave = probeX.unionByName(probeY)
+        val acc2 = SemanticIndex.acceptWave(h, wave)
+        val nX = probeX.count()
+        val nXacc = acc2.join(probeX.select("vec_id"), Seq("vec_id"),
+          "left_semi").count()
+        require(nX > 0L, "empty retraction probe stratum — gate is vacuous")
+        require(nXacc == nX,
+          s"only $nXacc of $nX copies of the retracted entity re-accepted — " +
+            "ghost spill rows or a covering neighbor survive the retraction")
+        require(probeY.count() > 0L,
+          "empty control stratum — no retained self-only entity")
+        require(acc2.join(probeY.select("vec_id"), Seq("vec_id"), "left_semi")
+            .count() == 0L,
+          "a copy of the RETAINED control entity re-entered — over-delete")
+        // epoch-2 commit keeps the fingerprint metadata (joined back
+        // from the wave — acceptWave's output drops extras)
+        graft.sources.Bucketed.writeBucketed(
+          SemanticIndex.spilled(h,
+              acc2.join(wave.select(col("vec_id"), col("fp")), "vec_id"),
+              Seq("fp"))
+            .withColumn("epoch", lit(2)),
+          tbl, nb, Seq("cell"), mode = "append", path = Some(h.path))
+        spark.catalog.refreshByPath(h.path)
+        SemanticIndex.rollup(h)
+          .unionByName(tomb.agg(count(lit(1)).as("n_vecs"),
+              sum(col("vec_id")).as("sum_id"))
+            .select(lit(11).as("epoch"), col("n_vecs"), col("sum_id")))
+          .unionByName(xsel.select(lit(12).as("epoch"), lit(1L).as("n_vecs"),
+            col("x_id").as("sum_id")))
+          .unionByName(ysel.select(lit(13).as("epoch"), lit(1L).as("n_vecs"),
+            col("y_id").as("sum_id")))
+          .orderBy(col("epoch"))
+      },
+      Some {
+        import graft.operators.IvfKmeans
+        val dot61 = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      [$a[i] * $b[i] FOR i IN generate_series(1, 61)]),
+             |      (x, y) -> x + y)""".stripMargin
+        val bins = (0 until 61).map(b =>
+          s"CAST(len(list_filter(bg, x -> x = $b)) AS DOUBLE)").mkString(", ")
+        s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
+           |f0h AS (
+           |  SELECT vec_id, fp, [$bins] AS v FROM (
+           |    SELECT vec_id, fp,
+           |      [ (h[i] * 31 + h[i + 1]) % 61
+           |        FOR i IN generate_series(1, len(h) - 1) ] AS bg
+           |    FROM (
+           |      SELECT doc_id AS vec_id,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split_regex(text, ''),
+           |            c -> CAST(ascii(c) AS BIGINT))),
+           |          (acc, x) -> (acc * 31 + x) % $P) AS fp,
+           |        list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+           |          t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |                 list_transform(string_split_regex(t, ''),
+           |                   c -> CAST(ascii(c) AS BIGINT))),
+           |               (acc, x) -> (acc * 31 + x) % $P)) AS h
+           |      FROM dsrc)
+           |    WHERE len(h) >= 2)),
+           |f0 AS MATERIALIZED (
+           |  SELECT vec_id, fp, v, nrm,
+           |    list_transform(v, x -> CAST(floor(x / nrm * 1000) AS BIGINT)) AS qv
+           |  FROM (SELECT vec_id, fp, v,
+           |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            [x * x FOR x IN v]), (a, b) -> a + b)) AS nrm
+           |        FROM f0h)),
+           |${IvfKmeans.lloydCtes(8, 2, 61, 0L,
+              src = "(SELECT vec_id, [x / nrm FOR x IN v] AS embedding FROM f0)")},
+           |${IvfKmeans.spillAssignCte("i0", "f0", 61, Seq("v", "nrm"),
+              cents = "c2")},
+           |i0m AS MATERIALIZED (
+           |  SELECT i.cell, i.vec_id, f.fp, i.v, i.nrm
+           |  FROM i0 i JOIN f0 f USING (vec_id)),
+           |${IvfKmeans.spillAssignCte("p0", "f0", 61,
+              Seq("fp", "v", "nrm", "qv"), cents = "c2", maxProbe = 1)},
+           |nf AS (
+           |  SELECT p.vec_id, p.fp,
+           |    CAST(sum(CASE WHEN i.fp <> p.fp THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_foreign
+           |  FROM p0 p JOIN i0m i ON i.cell = p.cell
+           |  WHERE CAST(floor(((${dot61("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
+           |    AS BIGINT) >= 900000
+           |  GROUP BY p.vec_id, p.fp),
+           |xsel AS (SELECT min(vec_id) AS x_id FROM nf WHERE n_foreign = 0),
+           |fpx AS (SELECT f.fp AS fp_x FROM f0 f, xsel WHERE f.vec_id = xsel.x_id),
+           |ysel AS (SELECT min(n.vec_id) AS y_id FROM nf n, fpx
+           |         WHERE n.n_foreign = 0 AND n.fp <> fpx.fp_x),
+           |tomb AS MATERIALIZED (
+           |  SELECT f.vec_id FROM f0 f, fpx WHERE f.fp = fpx.fp_x),
+           |st2 AS MATERIALIZED (
+           |  SELECT i.* FROM i0m i LEFT JOIN tomb t ON t.vec_id = i.vec_id
+           |  WHERE t.vec_id IS NULL),
+           |pw AS (
+           |  SELECT f.vec_id + 700000000 AS vec_id, f.v, f.nrm, f.qv
+           |  FROM f0 f JOIN tomb t ON t.vec_id = f.vec_id
+           |  UNION ALL
+           |  SELECT f.vec_id + 800000000, f.v, f.nrm, f.qv
+           |  FROM f0 f, ysel WHERE f.vec_id = ysel.y_id),
+           |${IvfKmeans.spillAssignCte("pp", "pw", 61, Seq("v", "nrm"),
+              cents = "c2", maxProbe = 1)},
+           |dd AS (
+           |  SELECT DISTINCT p.vec_id FROM pp p JOIN st2 i ON i.cell = p.cell
+           |  WHERE CAST(floor(((${dot61("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
+           |    AS BIGINT) >= 900000),
+           |ac2 AS (
+           |  SELECT p.vec_id FROM (SELECT DISTINCT vec_id FROM pp) p
+           |  LEFT JOIN dd d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL),
+           |committed AS (
+           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM st2)
+           |  UNION ALL SELECT 2, vec_id FROM ac2
+           |  UNION ALL SELECT 11, vec_id FROM tomb
+           |  UNION ALL SELECT 12, x_id FROM xsel
+           |  UNION ALL SELECT 13, y_id FROM ysel)
            |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
            |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
       })

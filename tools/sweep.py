@@ -137,6 +137,10 @@ SLOW_ORACLE_TIMEOUT = {
     "q134_index_geometry_point": 900,
     "q135_hotcap_operating_point": 900,
     "q136_multimodal_compact_retract": 900,
+    # r14: one 61-dim Lloyd chain + the cell-blocked cover-analysis
+    # join (acceptWave's shape with an fp tag — ~n^2/K pairs of 61-dim
+    # dots) + two probe replays; q120's cost class at a wider dim
+    "q137_multimodal_selective_retract": 900,
 }
 
 
