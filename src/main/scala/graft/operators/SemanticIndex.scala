@@ -101,6 +101,34 @@ object SemanticIndex {
     else acc.localCheckpoint(true)
   }
 
+  /** FOREIGN-cover counts for a per-entity retraction selection
+    * (q137): each probe row (vec_id, fp, v, nrm, qv) re-probes its
+    * crank-1 cell against the store — which must CARRY an `fp`
+    * metadata column (entity fingerprint) — and counts stored covers
+    * (cosine >= threshX1e6) whose fingerprint DIFFERS. A row with
+    * n_foreign = 0 is covered only by its own exact copies, so
+    * retracting its fingerprint family makes the deletion observable
+    * (a re-sent copy re-accepts). Plan shape = [[acceptWave]]'s ONE
+    * cell-keyed join (store side bucket-scan, exchange-free; probe
+    * side one cell shuffle) followed by the (vec_id, fp) aggregate;
+    * gated by SemanticIndexPlanSpec. */
+  def foreignCovers(h: Handle, probe: DataFrame): DataFrame = {
+    val p = IvfKmeans.rankCells(
+        probe.select(col("vec_id"), col("fp"), col("v"), col("nrm"),
+          col("qv")), "qv", h.cents, 1)
+      .select(col("vec_id"), col("fp"), col("v"), col("nrm"), col("cell"))
+    val idx = h.spark.table(h.table)
+      .select(col("cell").as("icell"), col("fp").as("ifp"),
+        col("v").as("iv"), col("nrm").as("inrm"))
+    p.join(idx,
+        col("cell") === col("icell") &&
+          VF.quantize1e6(VF.dot(col("v"), col("iv")) /
+            (col("nrm") * col("inrm"))) >= h.threshX1e6)
+      .groupBy(col("vec_id"), col("fp"))
+      .agg(sum(when(col("ifp") =!= col("fp"), 1L).otherwise(0L))
+        .as("n_foreign"))
+  }
+
   /** Commit an accepted frame as `epoch`: spill-assign and append.
     * `buckets` must match the table's CURRENT bucket spec (it changes
     * across a q122 compaction). */

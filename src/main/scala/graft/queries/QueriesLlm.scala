@@ -5241,21 +5241,9 @@ object QueriesLlm {
           tbl, nb, Seq("cell"), path = Some(h.path))
         // cover analysis: each content re-probes its crank-1 cell; a
         // cover is FOREIGN iff its text fingerprint differs. One
-        // cell-keyed join — the acceptWave shape with an fp tag.
-        val p0 = IvfKmeans.rankCells(
-            seed.select(col("vec_id"), col("fp"), col("v"), col("nrm"),
-              col("qv")), "qv", cents, 1)
-          .select(col("vec_id"), col("fp"), col("v"), col("nrm"), col("cell"))
-        val store0 = h.spark.table(tbl)
-          .select(col("cell").as("icell"), col("fp").as("ifp"),
-            col("v").as("iv"), col("nrm").as("inrm"))
-        val nf = p0.join(store0,
-            col("cell") === col("icell") &&
-              VF.quantize1e6(VF.dot(col("v"), col("iv")) /
-                (col("nrm") * col("inrm"))) >= Thresh)
-          .groupBy(col("vec_id"), col("fp"))
-          .agg(sum(when(col("ifp") =!= col("fp"), 1L).otherwise(0L))
-            .as("n_foreign"))
+        // cell-keyed join — acceptWave's shape with an fp tag
+        // (SemanticIndex.foreignCovers, plan-gated)
+        val nf = SemanticIndex.foreignCovers(h, seed)
           .localCheckpoint(true) // x and y selections both read it
         val xsel = nf.filter(col("n_foreign") === 0)
           .agg(min(col("vec_id")).as("x_id")) // 1 row

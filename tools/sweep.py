@@ -31,10 +31,14 @@ from check import cache_key  # noqa: E402 — shared key derivation
 
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     # (r13 note: "explodes with SF" is an sf1 statement — at sf0.1
-    # five of these seven primed inline this round (q41 69s, q43 386s,
-    # q92 18s, q108 7.5s, q119 29s; artifacts/r13_sweep_sf01.txt) and
-    # swept as real rows; only q52/q88 exceeded a 30-min priming cap
-    # at sf0.1)
+    # five of these seven primed inline in r13 (q41 69s, q43 386s,
+    # q92 18s, q108 7.5s, q119 29s; artifacts/r13_sweep_sf01.txt);
+    # r14 closed the last two: the q52/q88 oracle rewrite (exact
+    # shingle dictionary + hoisted sizes + size-ratio cut +
+    # MATERIALIZED pairs/edges — the recursive closure was re-running
+    # the quadratic scan per fringe round) primes q52 in 151s and q88
+    # in 30s at sf0.1 — the sf0.1 sweep is now 0-skip
+    # (artifacts/r14_sweep_sf01.txt))
     "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard",
     "q52_dedup_clusters", "q88_dedup_pipeline",
     # q119's BLOCKING half got the norm hoist like q118, but its
