@@ -101,18 +101,30 @@ object SemanticIndex {
     else acc.localCheckpoint(true)
   }
 
-  /** FOREIGN-cover counts for a per-entity retraction selection
+  /** SELF-COVERED-ONLY probes for a per-entity retraction selection
     * (q137): each probe row (vec_id, fp, v, nrm, qv) re-probes its
     * crank-1 cell against the store — which must CARRY an `fp`
-    * metadata column (entity fingerprint) — and counts stored covers
-    * (cosine >= threshX1e6) whose fingerprint DIFFERS. A row with
-    * n_foreign = 0 is covered only by its own exact copies, so
-    * retracting its fingerprint family makes the deletion observable
-    * (a re-sent copy re-accepts). Plan shape = [[acceptWave]]'s ONE
-    * cell-keyed join (store side bucket-scan, exchange-free; probe
-    * side one cell shuffle) followed by the (vec_id, fp) aggregate;
-    * gated by SemanticIndexPlanSpec. */
-  def foreignCovers(h: Handle, probe: DataFrame): DataFrame = {
+    * metadata column (entity fingerprint) — and is KEPT iff NO stored
+    * cover (cosine >= threshX1e6) carries a DIFFERENT fingerprint.
+    * Such a row is covered only by its own exact copies, so retracting
+    * its fingerprint family makes the deletion observable (a re-sent
+    * copy re-accepts). Returns (vec_id, fp).
+    *
+    * Plan shape = [[acceptWave]]'s ONE cell-keyed ANTI join with the
+    * foreignness (`ifp <> fp`) folded into the residual condition
+    * (store side bucket-scan, exchange-free; probe side one cell
+    * shuffle) — gated by SemanticIndexPlanSpec. The pre-r15 form
+    * counted foreign covers with an inner join + (vec_id, fp)
+    * aggregate, which materialized every (probe, cover) pair: a flood
+    * class parked in one cell cost O(m^2) PAIR ROWS there plus an
+    * aggregate exchange. The selection only ever consumed
+    * `n_foreign = 0`, i.e. existence — the anti join short-circuits
+    * each probe row at its FIRST foreign cover, materializes nothing,
+    * and drops the aggregate shuffle entirely (the per-probe worst
+    * case is one scan of its cell, and only for rows that ARE
+    * self-only). At deployment the cell occupancy itself is bounded by
+    * the q134-measured K hand-off, not a constant. */
+  def selfCoveredOnly(h: Handle, probe: DataFrame): DataFrame = {
     val p = IvfKmeans.rankCells(
         probe.select(col("vec_id"), col("fp"), col("v"), col("nrm"),
           col("qv")), "qv", h.cents, 1)
@@ -121,12 +133,11 @@ object SemanticIndex {
       .select(col("cell").as("icell"), col("fp").as("ifp"),
         col("v").as("iv"), col("nrm").as("inrm"))
     p.join(idx,
-        col("cell") === col("icell") &&
+        col("cell") === col("icell") && col("ifp") =!= col("fp") &&
           VF.quantize1e6(VF.dot(col("v"), col("iv")) /
-            (col("nrm") * col("inrm"))) >= h.threshX1e6)
-      .groupBy(col("vec_id"), col("fp"))
-      .agg(sum(when(col("ifp") =!= col("fp"), 1L).otherwise(0L))
-        .as("n_foreign"))
+            (col("nrm") * col("inrm"))) >= h.threshX1e6,
+        "left_anti")
+      .select(col("vec_id"), col("fp"))
   }
 
   /** Commit an accepted frame as `epoch`: spill-assign and append.

@@ -4733,10 +4733,10 @@ object QueriesLlm {
     // exact. The family gates (q120/q130/q133) pin their K so their
     // oracles stay static; this gate is where that constant becomes
     // a measured choice, the same split as q129's threshold vs the
-    // serving gates. 100 TB: three trainings on a fixed-fraction
-    // sample (iters corpus scans, K·dim-row shuffles each),
-    // assignment map-only, occupancy one groupBy(cell) whose output
-    // is K rows, decision a 3-row aggregate riding as a 1-row
+    // serving gates. 100 TB: five trainings (one per ladder rung) on
+    // a fixed-fraction sample (iters corpus scans, K·dim-row shuffles
+    // each), assignment map-only, occupancy one groupBy(cell) whose
+    // output is K rows, decision a 5-row aggregate riding as a 1-row
     // broadcast — no driver collect. Reference anchor:
     // VariantLoad3.java:483-495 (cache capacity sized from the data
     // it must hold, rebuilt when outgrown — the same discipline on
@@ -4748,7 +4748,7 @@ object QueriesLlm {
         val Ladder = Seq(4, 8, 16, 64, 256)
         val q = table(spark, dir, "embeddings")
           .select(col("vec_id"), IvfKmeans.quantize(col("embedding"), Off).as("qv"))
-          .localCheckpoint(true) // 3 trainings + 3 full assignments
+          .localCheckpoint(true) // 5 trainings + 5 full assignments
         val sample = q.filter(col("vec_id") % 3 === 0)
         val occs = Ladder.map { k =>
           val cents = IvfKmeans.train(sample, k, Iters)
@@ -4765,7 +4765,7 @@ object QueriesLlm {
             .select(lit(k.toLong).as("k"), col("n_cells"), col("n_max"),
               col("n_total"))
         }.reduce(_ unionByName _)
-          .localCheckpoint(true) // 3 rows: ladder section + decision
+          .localCheckpoint(true) // 5 rows: ladder section + decision
         val chosen = ladder.agg(coalesce(
           min(when(col("n_total") <= col("n_cells") * OccBudget, col("k"))),
           lit(Ladder.max.toLong)).as("k_sel"))
@@ -5181,24 +5181,32 @@ object QueriesLlm {
     // (and gen_sf corpora carry 10x exact content copies), the
     // retraction target is SELECTED BY MEASUREMENT, not assumed:
     // every seed content re-probes its own crank-1 cell against the
-    // store and counts FOREIGN covers (cos >= Thresh with a
-    // DIFFERENT text fingerprint); the lowest-id content with zero
-    // foreign covers is the entity X — its only covers are its own
-    // exact copies — and the next such content (different
-    // fingerprint) is the retained control Y. Tombstone = ALL store
-    // rows carrying X's fingerprint (per-ENTITY retraction: a
-    // takedown removes the content including its key-shifted copies
-    // — vs q136's per-class set and q123's planted-id frame). After
-    // retraction, re-sent copies of X (+7e8) MUST all accept — the
-    // observability claim: no ghost spill rows AND no sub-threshold
-    // neighbor covers them — while re-sent copies of Y (+8e8) MUST
-    // all reject (over-delete detector). X, Y, the tombstone set,
-    // and the post-retract store rollup are all hashed; the oracle
-    // re-derives feature -> train -> spill -> cover analysis ->
-    // selection -> tombstone -> probe end to end. 100 TB: the cover
-    // analysis is ONE cell-blocked join (the acceptWave shape,
-    // bounded by cell occupancy), selection rides as 1-row
-    // broadcasts, the retraction is the q112/q123 filtered rewrite.
+    // store and asks whether ANY FOREIGN cover exists (cos >= Thresh
+    // with a DIFFERENT text fingerprint); the lowest-id content with
+    // none is the entity X — its only covers are its own exact
+    // copies — and the next such content (different fingerprint) is
+    // the retained control Y. Tombstone = ALL store rows carrying
+    // X's fingerprint (per-ENTITY retraction: a takedown removes the
+    // content including its key-shifted copies — vs q136's per-class
+    // set and q123's planted-id frame). After retraction, re-sent
+    // copies of X (+7e8) MUST all accept — the observability claim:
+    // no ghost spill rows AND no sub-threshold neighbor covers them
+    // — while re-sent copies of Y's WHOLE fingerprint family (+8e8,
+    // the tombstone derivation mirrored onto the retained entity)
+    // MUST all reject (over-delete detector). X, Y, the tombstone
+    // set, and the post-retract store rollup are all hashed; the
+    // oracle re-derives feature -> train -> spill -> cover analysis
+    // -> selection -> tombstone -> probe end to end. 100 TB: the
+    // cover analysis is ONE cell-blocked ANTI join (the acceptWave
+    // shape — existence short-circuits per probe row, no pair set is
+    // ever materialized, SemanticIndex.selfCoveredOnly), selection
+    // rides as 1-row broadcasts, the retraction is the q112/q123
+    // filtered rewrite. The per-cell cost is bounded by cell
+    // occupancy, and at deployment that occupancy is NOT this gate's
+    // pinned K=8: the cover analysis inherits the q134-measured K
+    // for the serving corpus (K=64 at sf0.1, K=256 at sf1 — the
+    // measured-band hand-off, OperatingPointBandSpec), which is the
+    // 100 TB answer to O((n/K)^2) per-cell growth at a fixed K.
     // Reference anchor: VariantPostProcessing.java:774-846
     // (per-entity, not per-class, sequence bookkeeping).
     Q("q137_multimodal_selective_retract",
@@ -5240,17 +5248,17 @@ object QueriesLlm {
           SemanticIndex.spilled(h, seed, Seq("fp")).withColumn("epoch", lit(0)),
           tbl, nb, Seq("cell"), path = Some(h.path))
         // cover analysis: each content re-probes its crank-1 cell; a
-        // cover is FOREIGN iff its text fingerprint differs. One
-        // cell-keyed join — acceptWave's shape with an fp tag
-        // (SemanticIndex.foreignCovers, plan-gated)
-        val nf = SemanticIndex.foreignCovers(h, seed)
+        // cover is FOREIGN iff its text fingerprint differs, and the
+        // selection only needs EXISTENCE. One cell-keyed ANTI join —
+        // acceptWave's shape with the fp inequality in the residual
+        // (SemanticIndex.selfCoveredOnly, plan-gated): keeps exactly
+        // the probes with zero foreign covers
+        val nf = SemanticIndex.selfCoveredOnly(h, seed)
           .localCheckpoint(true) // x and y selections both read it
-        val xsel = nf.filter(col("n_foreign") === 0)
-          .agg(min(col("vec_id")).as("x_id")) // 1 row
+        val xsel = nf.agg(min(col("vec_id")).as("x_id")) // 1 row
         val fpx = seed.join(broadcast(xsel), col("vec_id") === col("x_id"))
           .select(col("fp").as("fp_x")) // 1 row
-        val ysel = nf.filter(col("n_foreign") === 0)
-          .crossJoin(broadcast(fpx))
+        val ysel = nf.crossJoin(broadcast(fpx))
           .filter(col("fp") =!= col("fp_x"))
           .agg(min(col("vec_id")).as("y_id")) // 1 row
         val tomb = seed.crossJoin(broadcast(fpx))
@@ -5267,7 +5275,15 @@ object QueriesLlm {
           .select((col("vec_id") + 700000000L).as("vec_id"),
             col("fp"), col("v"), col("nrm"), col("qv"))
           .localCheckpoint(true) // wave + expected-count requires
-        val probeY = seed.join(broadcast(ysel), col("vec_id") === col("y_id"))
+        // the control stratum mirrors the tombstone derivation on the
+        // RETAINED entity: Y's whole fingerprint family re-sent, not
+        // just the selected row — so the over-delete detector covers
+        // every copy of Y the way the accept check covers every copy
+        // of X
+        val fpy = seed.join(broadcast(ysel), col("vec_id") === col("y_id"))
+          .select(col("fp").as("fp_y")) // 1 row
+        val probeY = seed.crossJoin(broadcast(fpy))
+          .filter(col("fp") === col("fp_y"))
           .select((col("vec_id") + 800000000L).as("vec_id"),
             col("fp"), col("v"), col("nrm"), col("qv"))
           .localCheckpoint(true)
@@ -5306,20 +5322,36 @@ object QueriesLlm {
       },
       Some {
         import graft.operators.IvfKmeans
+        // unrolled 61-term dot: same left-to-right summation order as
+        // the prior fold (0.0 + x1 == x1 bit-exact for the nonnegative
+        // histogram products), ~an order of magnitude less per-pair
+        // work in DuckDB than a per-pair list comprehension + reduce
         val dot61 = (a: String, b: String) =>
-          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      [$a[i] * $b[i] FOR i IN generate_series(1, 61)]),
-             |      (x, y) -> x + y)""".stripMargin
+          (1 to 61).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
         val bins = (0 until 61).map(b =>
           s"CAST(len(list_filter(bg, x -> x = $b)) AS DOUBLE)").mkString(", ")
+        // r15 (the q88 playbook, VERDICT r14 item 1): the corpus
+        // carries EXACT text copies (gen_sf corpora are 10x key-shifted
+        // copies), and copies share fp, v, nrm, qv and therefore cells
+        // — so features are derived ONCE per DISTINCT text (fd) and
+        // joined back per doc (f0), and the quadratic cover analysis
+        // runs over distinct texts on BOTH sides (pd x idd: ~100x
+        // fewer pairs at sf1), as a NOT EXISTS (the engine's anti-join
+        // existence semantics — no count, no pair materialization).
+        // Exactness: a doc has a foreign cover iff its text does
+        // (identical predicate values per copy), and min(vec_id) over
+        // zero-foreign docs = min over zero-foreign texts of their
+        // min-doc_id representative (rep_id).
         s"""WITH dsrc AS (SELECT doc_id, text FROM documents),
-           |f0h AS (
-           |  SELECT vec_id, fp, [$bins] AS v FROM (
-           |    SELECT vec_id, fp,
+           |dt AS MATERIALIZED (
+           |  SELECT text, min(doc_id) AS rep_id FROM dsrc GROUP BY text),
+           |fdh AS (
+           |  SELECT text, rep_id, fp, [$bins] AS v FROM (
+           |    SELECT text, rep_id, fp,
            |      [ (h[i] * 31 + h[i + 1]) % 61
            |        FOR i IN generate_series(1, len(h) - 1) ] AS bg
            |    FROM (
-           |      SELECT doc_id AS vec_id,
+           |      SELECT text, rep_id,
            |        list_reduce(list_prepend(CAST(0 AS BIGINT),
            |          list_transform(string_split_regex(text, ''),
            |            c -> CAST(ascii(c) AS BIGINT))),
@@ -5329,58 +5361,60 @@ object QueriesLlm {
            |                 list_transform(string_split_regex(t, ''),
            |                   c -> CAST(ascii(c) AS BIGINT))),
            |               (acc, x) -> (acc * 31 + x) % $P)) AS h
-           |      FROM dsrc)
+           |      FROM dt)
            |    WHERE len(h) >= 2)),
-           |f0 AS MATERIALIZED (
-           |  SELECT vec_id, fp, v, nrm,
+           |fd AS MATERIALIZED (
+           |  SELECT text, rep_id, fp, v, nrm,
            |    list_transform(v, x -> CAST(floor(x / nrm * 1000) AS BIGINT)) AS qv
-           |  FROM (SELECT vec_id, fp, v,
+           |  FROM (SELECT text, rep_id, fp, v,
            |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            |            [x * x FOR x IN v]), (a, b) -> a + b)) AS nrm
-           |        FROM f0h)),
+           |        FROM fdh)),
+           |f0 AS MATERIALIZED (
+           |  SELECT d.doc_id AS vec_id, f.fp, f.v, f.nrm, f.qv
+           |  FROM dsrc d JOIN fd f USING (text)),
            |${IvfKmeans.lloydCtes(8, 2, 61, 0L,
               src = "(SELECT vec_id, [x / nrm FOR x IN v] AS embedding FROM f0)")},
-           |${IvfKmeans.spillAssignCte("i0", "f0", 61, Seq("v", "nrm"),
-              cents = "c2")},
-           |i0m AS MATERIALIZED (
-           |  SELECT i.cell, i.vec_id, f.fp, i.v, i.nrm
-           |  FROM i0 i JOIN f0 f USING (vec_id)),
-           |${IvfKmeans.spillAssignCte("p0", "f0", 61,
-              Seq("fp", "v", "nrm", "qv"), cents = "c2", maxProbe = 1)},
-           |nf AS (
-           |  SELECT p.vec_id, p.fp,
-           |    CAST(sum(CASE WHEN i.fp <> p.fp THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_foreign
-           |  FROM p0 p JOIN i0m i ON i.cell = p.cell
-           |  WHERE CAST(floor(((${dot61("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
-           |    AS BIGINT) >= 900000
-           |  GROUP BY p.vec_id, p.fp),
-           |xsel AS (SELECT min(vec_id) AS x_id FROM nf WHERE n_foreign = 0),
-           |fpx AS (SELECT f.fp AS fp_x FROM f0 f, xsel WHERE f.vec_id = xsel.x_id),
-           |ysel AS (SELECT min(n.vec_id) AS y_id FROM nf n, fpx
-           |         WHERE n.n_foreign = 0 AND n.fp <> fpx.fp_x),
+           |${IvfKmeans.spillAssignCte("idd",
+              "(SELECT rep_id AS vec_id, fp, v, nrm, qv FROM fd)", 61,
+              Seq("fp", "v", "nrm"), cents = "c2")},
+           |${IvfKmeans.spillAssignCte("pd",
+              "(SELECT rep_id AS vec_id, fp, v, nrm, qv FROM fd)", 61,
+              Seq("fp", "v", "nrm"), cents = "c2", maxProbe = 1)},
+           |nfz AS MATERIALIZED (
+           |  SELECT p.vec_id, p.fp FROM pd p
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM idd i
+           |    WHERE i.cell = p.cell AND i.fp <> p.fp
+           |      AND CAST(floor(((${dot61("p.v", "i.v")}) / (p.nrm * i.nrm))
+           |        * 1e6) AS BIGINT) >= 900000)),
+           |xsel AS (SELECT min(vec_id) AS x_id FROM nfz),
+           |fpx AS (SELECT f.fp AS fp_x FROM fd f, xsel WHERE f.rep_id = xsel.x_id),
+           |ysel AS (SELECT min(n.vec_id) AS y_id FROM nfz n, fpx
+           |         WHERE n.fp <> fpx.fp_x),
+           |fpy AS (SELECT f.fp AS fp_y FROM fd f, ysel WHERE f.rep_id = ysel.y_id),
            |tomb AS MATERIALIZED (
            |  SELECT f.vec_id FROM f0 f, fpx WHERE f.fp = fpx.fp_x),
-           |st2 AS MATERIALIZED (
-           |  SELECT i.* FROM i0m i LEFT JOIN tomb t ON t.vec_id = i.vec_id
-           |  WHERE t.vec_id IS NULL),
+           |st2d AS MATERIALIZED (
+           |  SELECT i.* FROM idd i, fpx WHERE i.fp <> fpx.fp_x),
            |pw AS (
            |  SELECT f.vec_id + 700000000 AS vec_id, f.v, f.nrm, f.qv
            |  FROM f0 f JOIN tomb t ON t.vec_id = f.vec_id
            |  UNION ALL
            |  SELECT f.vec_id + 800000000, f.v, f.nrm, f.qv
-           |  FROM f0 f, ysel WHERE f.vec_id = ysel.y_id),
+           |  FROM f0 f, fpy WHERE f.fp = fpy.fp_y),
            |${IvfKmeans.spillAssignCte("pp", "pw", 61, Seq("v", "nrm"),
               cents = "c2", maxProbe = 1)},
            |dd AS (
-           |  SELECT DISTINCT p.vec_id FROM pp p JOIN st2 i ON i.cell = p.cell
+           |  SELECT DISTINCT p.vec_id FROM pp p JOIN st2d i ON i.cell = p.cell
            |  WHERE CAST(floor(((${dot61("p.v", "i.v")}) / (p.nrm * i.nrm)) * 1e6)
            |    AS BIGINT) >= 900000),
            |ac2 AS (
            |  SELECT p.vec_id FROM (SELECT DISTINCT vec_id FROM pp) p
            |  LEFT JOIN dd d ON d.vec_id = p.vec_id WHERE d.vec_id IS NULL),
            |committed AS (
-           |  SELECT 0 AS epoch, vec_id FROM (SELECT DISTINCT vec_id FROM st2)
+           |  SELECT 0 AS epoch, f.vec_id FROM f0 f
+           |  LEFT JOIN tomb t ON t.vec_id = f.vec_id WHERE t.vec_id IS NULL
            |  UNION ALL SELECT 2, vec_id FROM ac2
            |  UNION ALL SELECT 11, vec_id FROM tomb
            |  UNION ALL SELECT 12, x_id FROM xsel

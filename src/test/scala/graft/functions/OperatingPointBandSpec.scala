@@ -151,4 +151,40 @@ class OperatingPointBandSpec extends SparkSpec {
         s"occupancy band $band (occ=$occ) — the documents corpus outgrew " +
         s"the family gates' geometry")
   }
+
+  test("q137's pinned K=8 sits inside the occupancy band on its 61-bin word-bigram frame") {
+    // q137 introduced a FOURTH feature geometry (hashed word-bigram
+    // 61-bin histograms — byte-level bins measurably cannot resolve
+    // per-entity retraction on this corpus, artifacts/
+    // r14_mmselect_features.md) with K=8 pinned for the gate's static
+    // oracle. This is the band-membership bridge for that frame
+    // (VERDICT r14 item 2): the derivation below mirrors the gate's
+    // `feats` exactly (tokenize lowered text at whitespace, bigram
+    // polyhash mod 61, unit-normalize, offset-0 quantize). At
+    // deployment the cover analysis inherits the q134-measured K for
+    // the serving corpus instead of this pinned 8 — that hand-off is
+    // what bounds its per-cell O((n/K)^2) growth.
+    val FD = 61
+    val histD = (0 until FD).map(b =>
+      s"size(filter(bg, x -> x = $b))").mkString(", ")
+    val q = docs
+      .select(col("doc_id").as("vec_id"),
+        TextFunctions.tokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("bg", transform(sequence(lit(1), size(col("t")) - 1),
+        i => (TextFunctions.polyHash(element_at(col("t"), i)) * 31 +
+          TextFunctions.polyHash(element_at(col("t"), i + 1))) % FD))
+      .selectExpr("vec_id", s"CAST(array($histD) AS array<double>) AS v")
+      .withColumn("nrm", sqrt(VectorFunctions.normSq(col("v"))))
+      .withColumn("qv", IvfKmeans.quantize(
+        transform(col("v"), x => x / col("nrm")), 0L))
+      .select(col("vec_id"), col("qv"))
+    val occ = geometryLadder(q, Seq(4, 8, 16), iters = 2)
+    val band = occ.collect { case (k, (cells, total)) if total <= cells * 96 => k }
+      .toSeq.sorted
+    assert(band.contains(8),
+      s"q137's pinned K=8 fell out of the occupancy band $band (occ=$occ) " +
+        s"on the 61-bin word-bigram frame — the documents corpus outgrew " +
+        s"the gate's geometry; re-measure and retune the q137 constant")
+  }
 }
