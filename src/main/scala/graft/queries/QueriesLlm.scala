@@ -149,7 +149,20 @@ object QueriesLlm {
     * through `edges` on every fringe round, and un-materialized DuckDB
     * CTEs re-inline — the r13 oracle re-ran the quadratic scan per
     * recursion round (the actual infeasibility, not the scan itself:
-    * measured 148 s total at sf0.1 once materialized). */
+    * measured 148 s total at sf0.1 once materialized).
+    *
+    * r15 (VERDICT r14 item 5): the quadratic scan itself is blocked by
+    * DISTINCT (lang, shingle-id set) CLASS — the corpus carries exact
+    * copies (gen_sf corpora are 10x key-shifted copies, and identical
+    * shingle SETS have identical jacc against everything), so the
+    * intersect join runs over classes (`cls`, ~n/10 rows at sf1) and
+    * qualifying class pairs re-expand to doc pairs from the class doc
+    * lists. Exactness: cross-class pairs inherit the class pair's jacc
+    * (every (x in A, y in B) ordered least/greatest appears exactly
+    * once — the rid < rid join picks each unordered class pair once);
+    * within-class pairs are identical sets, J = 1000 >= threshold by
+    * construction, enumerated per class. This is what made the q43/q52
+    * sf1 oracles primeable (r14 estimates: ~10 h / ~4 h naive). */
   private def pairsCteSql: String =
     s"""shdict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
        |           FROM (SELECT DISTINCT unnest(sh) AS s FROM sh)),
@@ -159,14 +172,31 @@ object QueriesLlm {
        |  FROM (SELECT doc_id, lang, unnest(sh) AS s FROM sh) u
        |  JOIN shdict d ON d.s = u.s
        |  GROUP BY u.doc_id),
+       |cls AS MATERIALIZED (
+       |  SELECT lang, ids, sz, list_sort(list(doc_id)) AS dids,
+       |    min(doc_id) AS rid
+       |  FROM shd GROUP BY lang, ids, sz),
+       |cpx AS (
+       |  SELECT da, db, jacc FROM (
+       |    SELECT da, db, inter * 1000 // (szsum - inter) AS jacc FROM (
+       |      SELECT a.dids AS da, b.dids AS db,
+       |        CAST(len(list_intersect(a.ids, b.ids)) AS BIGINT) AS inter,
+       |        a.sz + b.sz AS szsum
+       |      FROM cls a JOIN cls b ON a.lang = b.lang AND a.rid < b.rid
+       |        AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7))
+       |  WHERE jacc >= $JaccThreshold),
        |pairs AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |      CAST(len(list_intersect(a.ids, b.ids)) AS BIGINT) AS inter,
-       |      a.sz + b.sz AS szsum
-       |    FROM shd a JOIN shd b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7)
-       |  WHERE inter * 1000 // (szsum - inter) >= $JaccThreshold)""".stripMargin
+       |  SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+       |    jacc AS jacc_x1000
+       |  FROM cpx,
+       |    LATERAL (SELECT unnest(da) AS x) ux,
+       |    LATERAL (SELECT unnest(db) AS y) uy
+       |  UNION ALL
+       |  SELECT x AS doc_a, y AS doc_b, CAST(1000 AS BIGINT) AS jacc_x1000
+       |  FROM (SELECT dids FROM cls WHERE len(dids) >= 2) c,
+       |    LATERAL (SELECT unnest(dids) AS x) ux,
+       |    LATERAL (SELECT unnest(dids) AS y) uy
+       |  WHERE x < y)""".stripMargin
 
   // ---- shared DuckDB fragments (mirror the Spark expressions) --------
 
@@ -176,14 +206,6 @@ object QueriesLlm {
       |  SELECT doc_id, lang,
       |    list_distinct([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)]) AS sh
       |  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents))""".stripMargin
-
-  /** per-shingle polynomial hash, BIGINT. */
-  private val shlCte =
-    s"""shl AS (
-       |  SELECT doc_id, list_transform(sh, s ->
-       |    CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
-       |          + ascii(substr(s, 3, 1))) % $P AS BIGINT)) AS hl
-       |  FROM sh)""".stripMargin
 
   /** per-token polynomial rolling hash (BIGINT) of distinct tokens. */
   private val tokHashCte =
@@ -421,35 +443,83 @@ object QueriesLlm {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
+        // r15 (VERDICT r14 item 5): class-blocked like pairsCteSql —
+        // signatures, band keys, and jacc depend only on the shingle
+        // SET, so docs with identical sets form one class (`cls`), the
+        // band self-join and the candidate verify run over class
+        // representatives (~n/10 classes on gen_sf corpora, ~100x
+        // fewer band collisions and verifies), and qualifying class
+        // pairs re-expand to doc pairs. Within-class pairs collide in
+        // every band (identical non-NULL keys) and verify at J = 1000
+        // by construction; empty-shingle classes are excluded exactly
+        // as the doc form excludes them (NULL minhash keys never
+        // equi-match, and they drop out of the dictionary join). The
+        // verify itself takes pairsCteSql's two semantics-free cuts:
+        // the exact shingle dictionary (intersect on sorted INT lists,
+        // ~14x per pair vs 250-element VARCHARs — class blocking alone
+        // measured 995 s at sf0.1) and the size-ratio necessary
+        // condition (J >= 0.7 requires 10·min >= 7·max). This is what
+        // retired q41's sf1 oracle abandonment (r14: >5400 s at the
+        // prime cap).
         val sigCols = (0 until K).map(i =>
           s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % $MP)) AS m$i")
           .mkString(",\n    ")
         val bandSelects = (0 until Bands).map { b =>
           val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
             .reduce((acc, m) => s"($acc * 31 + $m)")
-          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sigt"
+          s"SELECT rid, $b AS band_idx, $key AS band_key FROM sigt"
         }.mkString("\n  UNION ALL\n  ")
         s"""WITH $shCte,
-           |$shlCte,
+           |cls0 AS MATERIALIZED (
+           |  SELECT sh, list_sort(list(doc_id)) AS dids, min(doc_id) AS rid
+           |  FROM sh GROUP BY sh),
+           |shdict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
+           |           FROM (SELECT DISTINCT unnest(sh) AS s FROM cls0)),
+           |cls AS MATERIALIZED (
+           |  SELECT u.rid, any_value(u.dids) AS dids,
+           |    list_sort(list(d.sid)) AS ids, count(*) AS sz
+           |  FROM (SELECT rid, dids, unnest(sh) AS s FROM cls0) u
+           |  JOIN shdict d ON d.s = u.s
+           |  GROUP BY u.rid),
+           |shlc AS (
+           |  SELECT rid, list_transform(sh, s ->
+           |    CAST(((ascii(substr(s, 1, 1)) * 31 + ascii(substr(s, 2, 1))) * 31
+           |          + ascii(substr(s, 3, 1))) % $P AS BIGINT)) AS hl
+           |  FROM cls0),
            |sigt AS (
-           |  SELECT doc_id,
+           |  SELECT rid,
            |    $sigCols
-           |  FROM shl),
+           |  FROM shlc),
            |bands AS (
            |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |ccand AS (
+           |  SELECT DISTINCT a.rid AS ra, b.rid AS rb
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |    AND a.doc_id < b.doc_id)
+           |    AND a.rid < b.rid),
+           |cver AS (
+           |  SELECT da, db, jacc FROM (
+           |    SELECT da, db, inter * 1000 // (szsum - inter) AS jacc FROM (
+           |      SELECT x.dids AS da, y.dids AS db,
+           |        CAST(len(list_intersect(x.ids, y.ids)) AS BIGINT) AS inter,
+           |        x.sz + y.sz AS szsum
+           |      FROM ccand c
+           |      JOIN cls x ON x.rid = c.ra
+           |      JOIN cls y ON y.rid = c.rb
+           |        AND least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7))
+           |  WHERE jacc >= $JaccThreshold)
            |SELECT doc_a, doc_b, jacc_x1000 FROM (
-           |  SELECT c.doc_a, c.doc_b,
-           |    (len(list_intersect(x.sh, y.sh)) * 1000)
-           |      // len(list_distinct(list_concat(x.sh, y.sh))) AS jacc_x1000
-           |  FROM cand c
-           |  JOIN sh x ON x.doc_id = c.doc_a
-           |  JOIN sh y ON y.doc_id = c.doc_b)
-           |WHERE jacc_x1000 >= $JaccThreshold
+           |  SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+           |    jacc AS jacc_x1000
+           |  FROM cver,
+           |    LATERAL (SELECT unnest(da) AS x) ux,
+           |    LATERAL (SELECT unnest(db) AS y) uy
+           |  UNION ALL
+           |  SELECT x AS doc_a, y AS doc_b, CAST(1000 AS BIGINT) AS jacc_x1000
+           |  FROM (SELECT dids FROM cls0 WHERE len(dids) >= 2 AND len(sh) >= 1) c,
+           |    LATERAL (SELECT unnest(dids) AS x) ux,
+           |    LATERAL (SELECT unnest(dids) AS y) uy
+           |  WHERE x < y)
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
@@ -546,14 +616,16 @@ object QueriesLlm {
     // provably identical to the plain quadratic scan the oracle runs.
     Q("q43_dedup_ngram_jaccard",
       (spark, dir) => jaccardPairs(spark, dir).orderBy(col("doc_a"), col("doc_b")),
+      // r15: shares pairsCteSql with q52 — the class-blocked exact
+      // form (same pairs, same jacc: the int shingle dictionary is
+      // collision-free and union = sz_a + sz_b - inter on distinct
+      // lists); the plain sh-self-join form was the one remaining
+      // naive quadratic oracle and is what kept q43 un-primeable at
+      // sf1 (~10 h estimate)
       Some(
-        s"""WITH $shCte
-           |SELECT doc_a, doc_b, jacc_x1000 FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    (len(list_intersect(a.sh, b.sh)) * 1000)
-           |      // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
-           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-           |WHERE jacc_x1000 >= $JaccThreshold
+        s"""WITH $shCte,
+           |$pairsCteSql
+           |SELECT doc_a, doc_b, jacc_x1000 FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // -- Brute-force cosine top-k: the ANN baseline. Query side is tiny
