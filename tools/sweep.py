@@ -31,16 +31,17 @@ from check import cache_key  # noqa: E402 — shared key derivation
 
 QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
     # (r13 note: "explodes with SF" is an sf1 statement — at sf0.1
-    # five of these seven primed inline in r13 (q41 69s, q43 386s,
-    # q92 18s, q108 7.5s, q119 29s; artifacts/r13_sweep_sf01.txt);
-    # r14 closed the last two: the q52/q88 oracle rewrite (exact
-    # shingle dictionary + hoisted sizes + size-ratio cut +
-    # MATERIALIZED pairs/edges — the recursive closure was re-running
-    # the quadratic scan per fringe round) primes q52 in 151s and q88
-    # in 30s at sf0.1 — the sf0.1 sweep is now 0-skip
-    # (artifacts/r14_sweep_sf01.txt))
-    "q41_dedup_minhash_lsh", "q43_dedup_ngram_jaccard",
-    "q52_dedup_clusters", "q88_dedup_pipeline",
+    # five of these seven primed inline in r13; r14 closed the last
+    # two with the q52/q88 oracle rewrite — exact shingle dictionary +
+    # hoisted sizes + size-ratio cut + MATERIALIZED pairs/edges.
+    # r15: q41/q43/q52 LEFT this set — blocking their pair stages by
+    # identical-shingle-set CLASS (copies share signatures, bands, and
+    # jaccard, so the quadratic joins run over ~n/10 class reps on
+    # gen_sf corpora and re-expand) brought all three under the 900s
+    # band at BOTH sf0.1 and sf1 (measured sf1 walls: q41 419s,
+    # q43 136s, q52 136s — vs r14's >5400s abandonment / ~10h / ~4h
+    # estimates; artifacts/r15_sf1_oracles.md). q88 also left (r14's
+    # MATERIALIZED-closure rewrite measured 27.6s at sf1 — 900s band).
     # q119's BLOCKING half got the norm hoist like q118, but its
     # oracle also closes the edge set with a recursive transitive-
     # closure CTE — on gen_sf's copy-amplified sf1 graph (159k edges,
@@ -112,6 +113,13 @@ SLOW_ORACLE_TIMEOUT = {
     # the centroid-assignment cross join is n^2/101 rows of 8-dim
     # cosine (25x cheaper per row than q53's 64-dim)
     "q130_multimodal_ann": 900,
+    # r15: class-blocked (see QUADRATIC note) — measured sf1 walls
+    # 419s / 136s / 136s, inside the 900s band at every SF
+    "q41_dedup_minhash_lsh": 900,
+    "q43_dedup_ngram_jaccard": 900,
+    "q52_dedup_clusters": 900,
+    # r14's MATERIALIZED-closure rewrite: 27.6s at sf1, 30s at sf0.1
+    "q88_dedup_pipeline": 900,
     # measured inline-feasible at sf1 after all (r11 priming run,
     # 8 DuckDB threads): q44 57s (400 probes x corpus — linear in
     # corpus, not quadratic), q53 263s (n x n/40 64-dim assignment
