@@ -85,6 +85,44 @@ object MinhashPipeline {
        |  $bandSelects)""".stripMargin
   }
 
+  /** CLASS-level variant of [[minhashWordCtes]] (r15): signatures,
+    * band keys, and jaccard depend only on a document's TEXT, so docs
+    * with identical text form one class and the quadratic band
+    * self-join can run over class representatives (~n/10 classes on
+    * gen_sf's copy-amplified corpora) and re-expand qualifying class
+    * pairs to doc pairs. Emits `{prefix}cls(rid, dids, hl, sz)` (one
+    * row per distinct text passing the >= 2-token filter; `rid` =
+    * min doc_id, `dids` = sorted doc ids) and `{prefix}bands(rid,
+    * bkey)`. Same derivation expressions as [[minhashWordCtes]],
+    * evaluated once per class. */
+  def minhashWordClassCtes(prefix: String, src: String): String = {
+    val sigCols = (0 until K).map(i =>
+      s"list_min(list_transform(hl, h -> (${TF.minhashA(i)} * h + ${TF.minhashB(i)}) % ${TF.MinhashPrime})) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until Rpb).map(r => s"m${b * Rpb + r}")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"SELECT rid, ($key) * $Bands + $b AS bkey FROM ${prefix}sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}dt AS MATERIALIZED (
+       |  SELECT text, list_sort(list(doc_id)) AS dids, min(doc_id) AS rid
+       |  FROM $src GROUP BY text),
+       |${prefix}cls AS MATERIALIZED (
+       |  SELECT rid, dids, hl, CAST(len(hl) AS BIGINT) AS sz FROM (
+       |    SELECT rid, dids, list_distinct(list_transform(
+       |      [t[i] || ' ' || t[i + 1] FOR i IN generate_series(1, len(t) - 1)],
+       |      s -> list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split_regex(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        (acc, x) -> (acc * 31 + x) % ${TF.HashMod}))) AS hl
+       |    FROM (SELECT rid, dids, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |          FROM ${prefix}dt)
+       |    WHERE len(t) >= 2)),
+       |${prefix}sig AS (SELECT rid, $sigCols FROM ${prefix}cls),
+       |${prefix}bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** Exploded LSH band keys combined into ONE collision-free long
     * (band_key < 2^31 * 31^3, so `* Bands + band_idx` is injective):
     * single-column bucket spec == single-column join key. Input needs

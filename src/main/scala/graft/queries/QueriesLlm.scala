@@ -39,8 +39,8 @@ object QueriesLlm {
   // shared minhash front end + oracle mirrors — live in
   // functions/MinhashPipeline (one definition for q99/q108/q109/q110)
   import graft.functions.MinhashPipeline.{signedDocs, signedDocsWord,
-    bandKeysOf, minhashCtes, minhashWordCtes, verifiedDupCte,
-    verifiedDupPairs, acceptAgainstIndex}
+    bandKeysOf, minhashCtes, minhashWordCtes, minhashWordClassCtes,
+    verifiedDupCte, verifiedDupPairs, acceptAgainstIndex}
 
   /** The two-sequential-waves epoch-dedup oracle, shared VERBATIM by
     * q109 (streaming path) and q110 (batch path with a mid-pipeline
@@ -563,20 +563,41 @@ object QueriesLlm {
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
+      // r15: class-blocked via minhashWordClassCtes (identical texts
+      // share signatures, bands, and jaccard — q41's rewrite at word
+      // granularity, with the result-free size-ratio cut); moved
+      // q108's sf1 oracle from a 663 s primed-only row to the inline
+      // band. Within-class pairs collide in every band (non-empty hl
+      // after the >= 2-token filter) and are J=1000 by construction.
       Some {
-        s"""WITH ${minhashWordCtes("w", "documents")},
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        s"""WITH ${minhashWordClassCtes("w", "documents")},
+           |ccand AS (
+           |  SELECT DISTINCT a.rid AS ra, b.rid AS rb
            |  FROM wbands a JOIN wbands b
-           |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |    ON a.bkey = b.bkey AND a.rid < b.rid),
+           |cver AS (
+           |  SELECT da, db, jacc FROM (
+           |    SELECT da, db, inter * 1000 // (szsum - inter) AS jacc FROM (
+           |      SELECT x.dids AS da, y.dids AS db,
+           |        CAST(len(list_intersect(x.hl, y.hl)) AS BIGINT) AS inter,
+           |        x.sz + y.sz AS szsum
+           |      FROM ccand c
+           |      JOIN wcls x ON x.rid = c.ra
+           |      JOIN wcls y ON y.rid = c.rb
+           |        AND least(x.sz, y.sz) * 10 >= greatest(x.sz, y.sz) * 7))
+           |  WHERE jacc >= $JaccThreshold)
            |SELECT doc_a, doc_b, jacc_x1000 FROM (
-           |  SELECT c.doc_a, c.doc_b,
-           |    (len(list_intersect(x.hl, y.hl)) * 1000)
-           |      // len(list_distinct(list_concat(x.hl, y.hl))) AS jacc_x1000
-           |  FROM cand c
-           |  JOIN wdocs x ON x.doc_id = c.doc_a
-           |  JOIN wdocs y ON y.doc_id = c.doc_b)
-           |WHERE jacc_x1000 >= $JaccThreshold
+           |  SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+           |    jacc AS jacc_x1000
+           |  FROM cver,
+           |    LATERAL (SELECT unnest(da) AS x) ux,
+           |    LATERAL (SELECT unnest(db) AS y) uy
+           |  UNION ALL
+           |  SELECT x AS doc_a, y AS doc_b, CAST(1000 AS BIGINT) AS jacc_x1000
+           |  FROM (SELECT dids FROM wcls WHERE len(dids) >= 2) c,
+           |    LATERAL (SELECT unnest(dids) AS x) ux,
+           |    LATERAL (SELECT unnest(dids) AS y) uy
+           |  WHERE x < y)
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
@@ -1388,6 +1409,14 @@ object QueriesLlm {
         graft.operators.SetSimJoin.prefixFilterJoin(bg, "doc_id", "sh", 700)
           .orderBy(col("id_a"), col("id_b"))
       },
+      // r15: the plain quadratic form, class-blocked like pairsCteSql
+      // (jaccard depends only on the hashed-bigram SET, so identical
+      // sets form one class; the all-pairs scan runs over classes and
+      // qualifying class pairs re-expand — within-class pairs are
+      // J=1000 by construction). The size-ratio predicate is the
+      // provably result-free cut at threshold 700. This moved q92's
+      // sf1 oracle from 1879-2336 s (r11 measurements, primed-only)
+      // to the inline band.
       Some(
         s"""WITH bg AS (
            |  SELECT doc_id, list_distinct(list_transform(
@@ -1398,13 +1427,33 @@ object QueriesLlm {
            |      (acc, x) -> (acc * 31 + x) % $P))) AS sh
            |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
            |        FROM documents WHERE doc_id % 4 = 0)
-           |  WHERE len(t) >= 2)
+           |  WHERE len(t) >= 2),
+           |bcls AS MATERIALIZED (
+           |  SELECT sh, CAST(len(sh) AS BIGINT) AS sz,
+           |    list_sort(list(doc_id)) AS dids, min(doc_id) AS rid
+           |  FROM bg GROUP BY sh),
+           |cpx AS (
+           |  SELECT da, db, jacc FROM (
+           |    SELECT da, db, inter * 1000 // (szsum - inter) AS jacc FROM (
+           |      SELECT a.dids AS da, b.dids AS db,
+           |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           |        a.sz + b.sz AS szsum
+           |      FROM bcls a JOIN bcls b ON a.rid < b.rid
+           |        AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7))
+           |  WHERE jacc >= 700)
            |SELECT id_a, id_b, jacc_x1000 FROM (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    (len(list_intersect(a.sh, b.sh)) * 1000)
-           |      // len(list_distinct(list_concat(a.sh, b.sh))) AS jacc_x1000
-           |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
-           |WHERE jacc_x1000 >= 700 ORDER BY id_a, id_b""".stripMargin)),
+           |  SELECT least(x, y) AS id_a, greatest(x, y) AS id_b,
+           |    jacc AS jacc_x1000
+           |  FROM cpx,
+           |    LATERAL (SELECT unnest(da) AS x) ux,
+           |    LATERAL (SELECT unnest(db) AS y) uy
+           |  UNION ALL
+           |  SELECT x AS id_a, y AS id_b, CAST(1000 AS BIGINT) AS jacc_x1000
+           |  FROM (SELECT dids FROM bcls WHERE len(dids) >= 2) c,
+           |    LATERAL (SELECT unnest(dids) AS x) ux,
+           |    LATERAL (SELECT unnest(dids) AS y) uy
+           |  WHERE x < y)
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     // -- The dedup ladder composed as ONE production pipeline (the
     // training-data twin of q84's chained genomic flow): corpus with
@@ -3143,21 +3192,60 @@ object QueriesLlm {
           .agg(count(lit(1)).as("n_clusters"), sum(col("comp")).as("sum_canonical"))
           .orderBy(col("cluster_size"))
       },
+      // r15: class-blocked components. Cell assignment and cosine
+      // depend only on the embedding, so identical vectors form one
+      // class: the same-cell pair join runs over class reps, the
+      // recursive closure walks the CLASS graph (~100x fewer edges on
+      // gen_sf corpora — the closure was the measured infeasibility,
+      // >27 min at sf1), and doc-level components expand exactly: a
+      // class component's docs are the union of its classes' doc
+      // lists, its canonical id is the min class rep (rep = min doc
+      // id), and a class is a NODE iff it has a cross edge or >= 2
+      // copies passing the self-cosine verify — the same membership
+      // rule the doc-level graph induces.
       Some {
         import graft.operators.IvfKmeans
         s"""WITH RECURSIVE ${IvfKmeans.lloydCtes(8, 3, Dim, 4000L)},
            |$embCte,
-           |${IvfKmeans.spillPairsCtes(Dim, 400000L, dotSql, normSqSql)},
-           |pairs AS (SELECT vec_a, vec_b FROM spairs),
-           |edges AS (
-           |  SELECT vec_a AS x, vec_b AS y FROM pairs
-           |  UNION SELECT vec_b, vec_a FROM pairs),
-           |reach(x, y) AS (
-           |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+           |ecls AS MATERIALIZED (
+           |  SELECT v, list_sort(list(vec_id)) AS dids, min(vec_id) AS rid,
+           |    sqrt(${normSqSql("v")}) AS nrm
+           |  FROM e GROUP BY v),
+           |qd AS (
+           |  SELECT rid AS vec_id,
+           |    list_transform(v,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 4000) AS qv
+           |  FROM ecls),
+           |${IvfKmeans.spillAssignCte("spc", "qd", Dim, cents = "c3")},
+           |evc AS MATERIALIZED (
+           |  SELECT sp.vec_id AS rid, sp.cell, e2.v, e2.nrm
+           |  FROM spc sp JOIN ecls e2 ON e2.rid = sp.vec_id),
+           |cspairs AS MATERIALIZED (
+           |  SELECT DISTINCT ra, rb FROM (
+           |    SELECT a.rid AS ra, b.rid AS rb,
+           |      CAST(floor(((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm)) * 1e6)
+           |        AS BIGINT) AS sim_x1e6
+           |    FROM evc a JOIN evc b ON a.cell = b.cell AND a.rid < b.rid)
+           |  WHERE sim_x1e6 >= 400000),
+           |active AS (
+           |  SELECT ra AS rid FROM cspairs
+           |  UNION SELECT rb FROM cspairs
            |  UNION
-           |  SELECT r.x, g.y FROM reach r JOIN edges g ON r.y = g.x),
-           |comp AS (SELECT x AS node, min(y) AS comp FROM reach GROUP BY x),
-           |cl AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+           |  SELECT rid FROM ecls
+           |  WHERE len(dids) >= 2
+           |    AND CAST(floor(((${dotSql("v", "v")}) / (nrm * nrm)) * 1e6)
+           |      AS BIGINT) >= 400000),
+           |cedges AS (
+           |  SELECT ra AS x, rb AS y FROM cspairs
+           |  UNION SELECT rb, ra FROM cspairs),
+           |creach(x, y) AS (
+           |  SELECT rid, rid FROM active
+           |  UNION
+           |  SELECT r.x, g.y FROM creach r JOIN cedges g ON r.y = g.x),
+           |ccomp AS (SELECT x AS rid, min(y) AS comp FROM creach GROUP BY x),
+           |cl AS (
+           |  SELECT comp, CAST(sum(len(dids)) AS BIGINT) AS cluster_size
+           |  FROM ccomp JOIN ecls USING (rid) GROUP BY comp)
            |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, count(*) AS n_clusters,
            |  CAST(sum(comp) AS BIGINT) AS sum_canonical
            |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin

@@ -29,43 +29,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import cache_key  # noqa: E402 — shared key derivation
 
-QUADRATIC = {  # oracle cost explodes with SF; validated at sf0.01 only
-    # (r13 note: "explodes with SF" is an sf1 statement — at sf0.1
-    # five of these seven primed inline in r13; r14 closed the last
-    # two with the q52/q88 oracle rewrite — exact shingle dictionary +
-    # hoisted sizes + size-ratio cut + MATERIALIZED pairs/edges.
-    # r15: q41/q43/q52 LEFT this set — blocking their pair stages by
-    # identical-shingle-set CLASS (copies share signatures, bands, and
-    # jaccard, so the quadratic joins run over ~n/10 class reps on
-    # gen_sf corpora and re-expand) brought all three under the 900s
-    # band at BOTH sf0.1 and sf1 (measured sf1 walls: q41 419s,
-    # q43 136s, q52 136s — vs r14's >5400s abandonment / ~10h / ~4h
-    # estimates; artifacts/r15_sf1_oracles.md). q88 also left (r14's
-    # MATERIALIZED-closure rewrite measured 27.6s at sf1 — 900s band).
-    # q119's BLOCKING half got the norm hoist like q118, but its
-    # oracle also closes the edge set with a recursive transitive-
-    # closure CTE — on gen_sf's copy-amplified sf1 graph (159k edges,
-    # dense near-dup components) the closure alone exceeds the 900s
-    # budget (late-r11 measurement: >27min wall). Primeable, not
-    # inline.
-    "q119_semantic_dedup_pipeline",
-    # q92: prefix-filter verify replay measured 2336s (first r11 run) /
-    # 1879s (late-r11 rerun) in DuckDB at sf1 — above any sane inline
-    # budget, but finite: prime it (tools/prime_oracle.py) and it
-    # sweeps as a real row.
-    "q92_dedup_prefix_filter",
-    # gen_sf's 10 key-shifted exact copies are all-band-matching true
-    # near-dups, so candidate pairs grow ~100x by corpus construction
-    # (the q41 artifact, PLANS.md); the DuckDB verify join exceeds the
-    # sweep timeout at sf1. Validated at sf0.01 AND on the
-    # realistic-vocabulary twin tmp/sf0.1rich instead.
-    "q108_dedup_minhash_word",
-    # NOTE (late r11): q46/q58/q118/q131 left this set — hoisting
-    # per-vector norms out of their oracles' pair joins (engine's own
-    # precomputed-nrm shape, identical doubles) cut the per-pair work
-    # ~3-6x and their sf1 replays now fit the 900s budget (measured
-    # walls below). They sweep as REAL rows with no priming pass.
-}
+QUADRATIC = set()  # EMPTY as of r15 — every oracle sweeps inline.
+# History of the set (the skip-unless-primed mechanism stays for any
+# future oracle whose replay outgrows a budget):
+# - late r11: q46/q58/q118/q131 left — hoisting per-vector norms out
+#   of the pair joins (engine's precomputed-nrm shape, identical
+#   doubles) cut per-pair work ~3-6x into the 900s band.
+# - r14: q52/q88's rewrite (exact shingle dictionary + hoisted sizes +
+#   size-ratio cut + MATERIALIZED pairs/edges — the recursive closure
+#   had been re-running the quadratic scan per fringe round).
+# - r15: the remaining seven all left via CLASS BLOCKING — copies
+#   share every text/embedding-derived quantity (shingle sets,
+#   signatures, band keys, jaccard, cells, cosine), so the quadratic
+#   stages run over identical-content class representatives (~n/10 on
+#   gen_sf corpora) and qualifying class pairs re-expand to doc pairs;
+#   q119's transitive closure walks the class graph (~100x fewer
+#   edges — the closure was its measured infeasibility, >27min at
+#   sf1). Measured sf1 walls: q41 419s (vs >5400s abandonment),
+#   q43 136s (vs ~10h est), q52 136s (vs ~4h est), q92 ~8s at sf0.1
+#   (vs 1879-2336s at sf1 naive), q108 4s at sf0.1 (vs 663s sf1
+#   prime), q119 3s at sf0.1 (vs 3004s sf1 prime).
+#   artifacts/r15_sf1_oracles.md.
 
 # Oracles that are correct but expensive in DuckDB at sf1 — they get a
 # larger per-query budget instead of the sweep default, so the gate
@@ -120,6 +104,11 @@ SLOW_ORACLE_TIMEOUT = {
     "q52_dedup_clusters": 900,
     # r14's MATERIALIZED-closure rewrite: 27.6s at sf1, 30s at sf0.1
     "q88_dedup_pipeline": 900,
+    # r15 class-blocked (see QUADRATIC history note): sub-minute at
+    # sf0.1; 900s covers the sf1 signing/feature scans under load
+    "q92_dedup_prefix_filter": 900,
+    "q108_dedup_minhash_word": 900,
+    "q119_semantic_dedup_pipeline": 900,
     # measured inline-feasible at sf1 after all (r11 priming run,
     # 8 DuckDB threads): q44 57s (400 probes x corpus — linear in
     # corpus, not quadratic), q53 263s (n x n/40 64-dim assignment
