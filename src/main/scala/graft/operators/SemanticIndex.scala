@@ -123,7 +123,19 @@ object SemanticIndex {
     * and drops the aggregate shuffle entirely (the per-probe worst
     * case is one scan of its cell, and only for rows that ARE
     * self-only). At deployment the cell occupancy itself is bounded by
-    * the q134-measured K hand-off, not a constant. */
+    * the q134-measured K hand-off, not a constant.
+    *
+    * Precondition: probe vectors must already be IN the store (each
+    * probe's own spilled copy guarantees it has >=1 cover). The anti
+    * join keeps any probe row with NO qualifying cover at all — the
+    * pre-r15 inner-join form silently DROPPED cover-less probes, and
+    * the two shapes agree only under the self-cover invariant (which
+    * every current caller satisfies: q137 probes rows selected from
+    * the store itself, and the flood-corpus equivalence spec exercises
+    * exactly that regime). A caller probing store-external vectors
+    * would see uncovered probes classified as "self-covered-only" —
+    * decide keep-vs-drop explicitly there rather than assuming the old
+    * covered-probes-only semantics. */
   def selfCoveredOnly(h: Handle, probe: DataFrame): DataFrame = {
     val p = IvfKmeans.rankCells(
         probe.select(col("vec_id"), col("fp"), col("v"), col("nrm"),
