@@ -11,6 +11,13 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // subset co-partitioning (public Spark conf, default true since
+      // 3.3): a join keyed (bkey, grp) with both sides already
+      // hash-partitioned on bkey must NOT re-shuffle the bucketed
+      // store to the full key — the capped wave-vs-index join
+      // (MinhashPipeline.verifiedDupPairsCapped) depends on this to
+      // keep the band table exchange-free under its widened join key
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,6 +45,13 @@ object Bench {
     // the recorded per-run loadavg makes any surviving outlier
     // self-explaining in the artifact.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
+    // A/B knob for the measured heavy-neighbor JVM cost (+0.5-1.5 s a
+    // query inherits from an expensive predecessor, which clearBlocks()
+    // alone does not recover — artifacts/r15_q110_isolation.md): when
+    // set, force a full GC and a short settle between queries so each
+    // starts from a comparable heap/JIT neighborhood. Off by default;
+    // adopted only if the A/B shows it recovers >=half the inflation.
+    val gcSettle = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     /** Free cached tables AND localCheckpoint/persist blocks so one
       * query's pinned blocks never inflate the next query's time. */
     def clearBlocks(): Unit = {
@@ -89,6 +103,7 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
+        if (gcSettle) { System.gc(); Thread.sleep(250) }
         (dt, la, st)
       }
       q.name -> samples
@@ -127,14 +142,37 @@ object Bench {
     // left BENCH_r05/r06.json unparseable (`parsed: null`). The full
     // per-query minima, per-run arrays, and per-run loadavg all land
     // in the detail file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+    // Box-state verdict FIRST in the JSON: BENCH_r15.json recorded a
+    // +20% hypervisor-throttled total and nothing in the leading bytes
+    // said so — a reader had to know to check stretch_max. Three-valued
+    // because the failure modes differ (measured r16: two back-to-back
+    // runs both probed max 1.77, but one had 10/411 probes >1.10 and a
+    // +19 s total while the other had 6 mild blips and a clean total):
+    //   CLEAN     all probes <=1.05 (r14's clean run: max 1.02)
+    //   BLIPS     isolated probes high but mean <=1.05 and <5% of
+    //             probes >1.10 — short stalls that min-of-N absorbs;
+    //             the total is still trustworthy
+    //   THROTTLED sustained descheduling (mean >1.05 or >=5% of probes
+    //             >1.10) — the total prices the hypervisor, not the
+    //             engine (r15's throttled session: 1.20-2.72)
+    val blipFrac =
+      if (allStretch.isEmpty) -1.0
+      else allStretch.count(_ > 1.10).toDouble / allStretch.size
+    val box =
+      if (stMax < 0) "UNKNOWN"
+      else if (stMax <= 1.05) "CLEAN"
+      else if (stMean <= 1.05 && blipFrac < 0.05) "BLIPS"
+      else "THROTTLED"
+    println(f"""{"box":"$box","stretch_max":$stMax%.2f,"blip_frac":$blipFrac%.3f,""" +
+      s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       f""""loadavg_mean":$laMean%.2f,"loadavg_max":$laMax%.2f,""" +
-      f""""stretch_mean":$stMean%.2f,"stretch_max":$stMax%.2f,""" +
+      f""""stretch_mean":$stMean%.2f,""" +
       f""""spread_max_query":"$spreadQ","spread_max_sec":$spreadSec%.2f,""" +
-      s""""sf":"$sfDir"}""")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""gc_settle":$gcSettle,"sf":"$sfDir"}""")
+    val full = f"""{"box":"$box","stretch_max":$stMax%.2f,"blip_frac":$blipFrac%.3f,""" +
+      s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"all_runs":$allRuns,"loadavg":$loads,""" +
-      s""""stretch":$stretches,"sf":"$sfDir"}"""
+      s""""stretch":$stretches,"gc_settle":$gcSettle,"sf":"$sfDir"}"""
     // absolute path: a run from another working directory must not
     // scatter the detail file, and a failed write must say so
     val detailPath = s"${graft.queries.Fixtures.scratchRoot}/bench_now.json"
