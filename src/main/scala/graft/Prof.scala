@@ -19,6 +19,13 @@ object Prof {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // subset co-partitioning (public Spark conf, default true since
+      // 3.3): a join keyed (bkey, grp) with both sides already
+      // hash-partitioned on bkey must NOT re-shuffle the bucketed
+      // store to the full key — the capped wave-vs-index join
+      // (MinhashPipeline.verifiedDupPairsCapped) depends on this to
+      // keep the band table exchange-free under its widened join key
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,6 +75,19 @@ object Prof {
     // q110 batch epoch-compaction lifecycle (the r13 steady bench's
     // one >0.9s r11->r13 mover, VERDICT r13 item 4)
     if (args.contains("compactlife")) { profCompactLife(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof streamlife` -> attribution of q109's wall
+    // (the suite's most expensive steady-bench row, VERDICT r15
+    // item 3): splits each of its THREE stream lifecycles into
+    // Structured Streaming machinery (start/schedule/commit-log/stop)
+    // vs in-batch dedup work, with a no-op stream as the floor control
+    if (args.contains("streamlife")) { profStreamLife(spark, sfDir); spark.stop(); return }
+    // `runMain graft.Prof semscale` -> the r16 scaling study's q131
+    // follow-up: the same corpus + cappedSpillPairs at the gate's
+    // pinned K=8 vs a q134-style occupancy-budget K, engine-only —
+    // demonstrates the measured sf10 quadratic is the pinned-gate
+    // price (cold-cell occupancy grows ∝ n/K at fixed K), not the
+    // production design (measured K holds occupancy ~= OccBudget)
+    if (args.contains("semscale")) { profSemScale(spark, sfDir); spark.stop(); return }
 
     val sh = docs.select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
@@ -709,6 +729,198 @@ object Prof {
       .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
         sum(col("doc_id")).as("sum_id"))
       .orderBy(col("epoch"), col("lang")).collect())
+  }
+
+  /** Attribution of q109_stream_dedup's wall (VERDICT r15 item 3).
+    * Replicates q109's exact lifecycle — seed index, wave-1 stream,
+    * epoch-1 commit, commit-level retry, checkpoint-wipe replay
+    * stream, wave-2 stream, epoch-2 commit, rollup — with a wall
+    * timer per phase AND an in-batch work clock (accumulated inside
+    * foreachBatch), so each stream's wall splits into
+    * `batch work` + `SS machinery` (query start, micro-batch
+    * scheduling, offset/commit log writes, stop). A no-op stream over
+    * the same 4-file source (foreachBatch = count only) is the floor:
+    * what AvailableNow costs with near-zero work. q109 runs THREE
+    * lifecycles by design (wave 1, the replay-safety leg, wave 2) —
+    * if machinery dominates, the fix is fewer/cheaper lifecycles; if
+    * work dominates, the cost is the dedup itself and stands. */
+  private def profStreamLife(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.MinhashPipeline.{signedDocs, bandKeysOf, acceptAgainstIndex}
+    import org.apache.spark.sql.streaming.Trigger
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val root = s"${graft.queries.Fixtures.scratchRoot}/profstream"
+    val docPath = s"$root/idx_docs"; val bandPath = s"$root/idx_bands"
+    val docTable = "graft_profsl_docs"; val bandTable = "graft_profsl_bands"
+    spark.sql(s"DROP TABLE IF EXISTS $docTable")
+    spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+    graft.queries.Fixtures.rmrf(new java.io.File(root))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+      .select("doc_id", "lang", "text")
+    val nb = graft.functions.DedupConfig.IndexBuckets
+    val seed = time("sl seed sign+ckpt")(signedDocs(corpus).localCheckpoint(true))
+    time("sl seed write idx")({
+      graft.sources.Bucketed.writeBucketed(
+        seed.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+          .withColumn("epoch", lit(0)),
+        docTable, nb, Seq("doc_id"), path = Some(docPath))
+      graft.sources.Bucketed.writeBucketed(bandKeysOf(seed),
+        bandTable, nb, Seq("bkey"), path = Some(bandPath))
+    })
+    val w1 = corpus.filter(col("doc_id") % 20 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", reverse(col("text"))))
+    val w2 = corpus.filter(col("doc_id") % 20 === 4)
+      .withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("text", reverse(col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 20 === 8)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("text", reverse(col("text"))))
+    time("sl wave file writes")({
+      w1.repartition(4).write.mode("overwrite").parquet(s"$root/src1")
+      w2.repartition(4).write.mode("overwrite").parquet(s"$root/src2")
+    })
+    val srcSchema = spark.read.parquet(s"$root/src1").schema
+    val stagedSchema = signedDocs(corpus.limit(0)).schema
+    // in-batch work clock: foreachBatch adds its own wall here, so
+    // stream wall - batchWork = the SS machinery share
+    val batchWork = new java.util.concurrent.atomic.AtomicLong(0L)
+    def runStream(tag: String, epoch: Int, srcPath: String): Unit = {
+      batchWork.set(0L)
+      time(s"sl stream $tag wall") {
+        val q = spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 2).parquet(srcPath)
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt_$epoch")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val b0 = System.nanoTime()
+            val bs = signedDocs(batch).localCheckpoint(true)
+            acceptAgainstIndex(bs, docTable, bandTable)
+              .select(col("doc_id"), col("lang"), col("hl"), col("sz"), col("sig"))
+              .write.mode("overwrite").parquet(s"$root/stage_$epoch/batch=$batchId")
+            batchWork.addAndGet(System.nanoTime() - b0); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      println(f"PROF ${s"sl stream $tag work"}%-28s ${batchWork.get / 1e9}%8.2f s" +
+        "   (wall - work = SS machinery)")
+    }
+    def commitEpoch(name: String, epoch: Int): Long = time(s"sl commit $name") {
+      val stageDir = new org.apache.hadoop.fs.Path(s"$root/stage_$epoch")
+      val sfs = stageDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val batchDirs =
+        if (!sfs.exists(stageDir)) Array.empty[String]
+        else sfs.listStatus(stageDir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.toString).sorted
+      val staged =
+        if (batchDirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema)
+        else spark.read.schema(stagedSchema).parquet(batchDirs.toIndexedSeq: _*)
+      val novel = staged
+        .join(spark.table(docTable).select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      graft.sources.Bucketed.writeBucketed(bandKeysOf(novel),
+        bandTable, nb, Seq("bkey"), mode = "append", path = Some(bandPath))
+      graft.sources.Bucketed.writeBucketed(
+        novel.select(col("doc_id"), col("lang"), col("hl"), col("sz"))
+          .withColumn("epoch", lit(epoch)),
+        docTable, nb, Seq("doc_id"), mode = "append", path = Some(docPath))
+      spark.catalog.refreshByPath(docPath)
+      spark.catalog.refreshByPath(bandPath)
+      novel.count()
+    }
+    // ---- floor control: the same source + trigger + checkpoint shape
+    // with a count-only foreachBatch — prices pure SS machinery
+    time("sl NOOP stream (control)")({
+      val q = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/src1")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt_noop")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.count(); ()
+        }
+        .start()
+      q.awaitTermination()
+    })
+    runStream("wave1", 1, s"$root/src1")
+    commitEpoch("epoch1", 1)
+    commitEpoch("retry (no-op)", 1)
+    time("sl ckpt wipe")(
+      graft.queries.Fixtures.rmrf(new java.io.File(s"$root/ckpt_1")))
+    runStream("replay", 1, s"$root/src1")
+    commitEpoch("replay (no-op)", 1)
+    runStream("wave2", 2, s"$root/src2")
+    commitEpoch("epoch2", 2)
+    time("sl rollup")(spark.table(docTable)
+      .groupBy(col("epoch"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("epoch"), col("lang")).collect())
+  }
+
+  /** The q131 scaling follow-up (r16): [[graft.operators.IvfKmeans
+    * .cappedSpillPairs]] on q131's exact corpus at the gate's pinned
+    * K=8 vs the q134 occupancy-discipline K (smallest K holding mean
+    * 2-probe occupancy <= OccBudget=96, the hand-off COVERAGE
+    * documents). The r16 study measured the pinned-K gate at
+    * wall ∝ scale^~2 (sf1 -> sf10): capCells leaves COLD cells
+    * uncapped — their pair cost is the 1.5×-mean occupancy line, and
+    * at FIXED K the mean grows ∝ n, so cold-cell enumeration is
+    * (n/K)²·K. The production path holds occupancy constant by
+    * GROWING K (the q134 hand-off), which this run demonstrates
+    * engine-only. Training uses a deterministic 1-in-20 sample (the
+    * production IVF discipline; the gate trains on the full corpus
+    * only because gate scale is tiny). */
+  private def profSemScale(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.IvfKmeans
+    import graft.functions.DedupConfig.HotBucketCap
+    import graft.functions.{VectorFunctions => VF}
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val Off = 4000L; val Thresh = 400000L; val OccBudget = 96L
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val anchor = base.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("ae"))
+    val corpus = base
+      .unionByName(base.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      .unionByName(base.crossJoin(broadcast(anchor))
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          col("ae").as("embedding")))
+    val e = corpus.select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"),
+        IvfKmeans.quantize(col("embedding"), Off).as("qv"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(true)
+    val n = e.count()
+    // q134's discipline: 2-probe spill rows / K <= OccBudget
+    val kMeasured = math.max(8L, 2L * n / OccBudget).toInt
+    println(s"PROF semscale corpus n=$n  pinned K=8  measured K=$kMeasured")
+    Seq(8, kMeasured).foreach { k =>
+      val cents = time(s"semscale train K=$k")(
+        IvfKmeans.train(e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"), col("qv")), k, 3).localCheckpoint(true))
+      val pairs = time(s"semscale pairs K=$k")(
+        IvfKmeans.cappedSpillPairs(e, cents, Thresh, k, HotBucketCap).count())
+      println(s"PROF semscale K=$k verified pairs=$pairs")
+    }
   }
 
   /** Per-stage attribution for q58_multimodal_embed and
