@@ -24,6 +24,13 @@ object EngineRun {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // subset co-partitioning (public Spark conf, default true since
+      // 3.3): a join keyed (bkey, grp) with both sides already
+      // hash-partitioned on bkey must NOT re-shuffle the bucketed
+      // store to the full key — the capped wave-vs-index join
+      // (MinhashPipeline.verifiedDupPairsCapped) depends on this to
+      // keep the band table exchange-free under its widened join key
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

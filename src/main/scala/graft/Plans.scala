@@ -5,6 +5,9 @@ object Plans {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions).master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // subset co-partitioning — see Bench.scala: keeps bucketed stores
+      // exchange-free under composite-key probe joins
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = s"${graft.queries.Fixtures.testdataRoot}/sf0.01"

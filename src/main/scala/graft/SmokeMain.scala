@@ -5,6 +5,9 @@ object SmokeMain {
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // subset co-partitioning — see Bench.scala: keeps bucketed stores
+      // exchange-free under composite-key probe joins
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -165,8 +165,7 @@ object MinhashPipeline {
     * generation still costs ONE exchange. */
   def capBands(wsig: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = bandKeysOf(wsig.withColumn("sg",
-      aggregate(col("hl"), lit(0L), (a, x) => (a * 31 + x) % TF.HashMod)),
+    val bands = bandKeysOf(wsig.withColumn("sg", contentFp(col("hl"))),
       passthru = Seq("sg"))
     val hot = count(lit(1)).over(Window.partitionBy(col("bkey"))) > cap
     bands
@@ -200,6 +199,15 @@ object MinhashPipeline {
        |  WHERE rn <= $cap)""".stripMargin
   }
 
+  /** Content fingerprint of a shingle-hash list: a left fold of the
+    * SORTED list — identical shingle SETS (exact copies and J=1.0
+    * rewrites) share it; differing content almost surely doesn't. The
+    * hot-bucket split key of [[capBands]] (band self-join) and
+    * [[verifiedDupPairsCapped]] (wave-vs-index join). Input must be
+    * sorted ([[signedDocs]]' `hl` is, by construction). */
+  def contentFp(hl: Column): Column =
+    aggregate(hl, lit(0L), (a, x) => (a * 31 + x) % TF.HashMod)
+
   /** Verified near-duplicate PAIRS of a signed wave against the
     * persistent bucketed index — the ENGINE side of the
     * verify-before-insert contract, one definition for the whole index
@@ -224,8 +232,16 @@ object MinhashPipeline {
       .join(ss.table(bandTable), "bkey") // index side exchange-free
       .select(col("w_id"), col("doc_id").as("idx_id"))
       .distinct()
+    verifyPairs(cand, wsig, docTable)
+  }
+
+  /** The exact-Jaccard verify tail shared by [[verifiedDupPairs]] and
+    * [[verifiedDupPairsCapped]]: size-ratio prune, then the native
+    * two-pointer `sorted_inter_count` on (w_id, idx_id) candidates. */
+  private def verifyPairs(cand: DataFrame, wsig: DataFrame,
+                          docTable: String): DataFrame =
     cand
-      .join(ss.table(docTable).select(col("doc_id").as("idx_id"),
+      .join(wsig.sparkSession.table(docTable).select(col("doc_id").as("idx_id"),
         col("hl").as("hl_i"), col("sz").as("sz_i")), "idx_id")
       .join(wsig.select(col("doc_id").as("w_id"), col("hl").as("hl_w"),
         col("sz").as("sz_w")), "w_id")
@@ -234,7 +250,73 @@ object MinhashPipeline {
         call_function("sorted_inter_count", col("hl_w"), col("hl_i")))
       .filter(expr(s"inter * 1000 DIV (sz_w + sz_i - inter) >= $JaccThreshold"))
       .select(col("w_id"), col("idx_id"))
+
+  /** HOT-BUCKET CONTROL for the wave-vs-INDEX candidate join — the
+    * production form of [[verifiedDupPairs]] for copy-dense corpora.
+    *
+    * The r16 scaling study (artifacts/r16_scaling_study.md) measured
+    * the uncapped wave-vs-index band join as the LAST super-linear
+    * candidate generator in the engine: a band bucket holding m index
+    * docs pairs EVERY colliding wave doc with all m, so when exact-copy
+    * families grow with the corpus (boilerplate at 100 TB; the gen_sf
+    * scale-ups by construction), candidates grow ∝ family², and
+    * q109/q110 measured walls ∝ scale^1.3 where their capped siblings
+    * (q121/q127) hold ~linear. Same cure as [[capBands]], adapted to
+    * the two-sided join:
+    *
+    *  - the INDEX side of a bucket whose occupancy exceeds `cap` is
+    *    SPLIT by content fingerprint ([[contentFp]]) and each
+    *    (bkey, grp) group kept to the `cap` lowest doc_ids — exact-copy
+    *    families stay findable (any member represents the family),
+    *    differing-content boilerplate collisions stop pairing;
+    *  - each WAVE row computes the same group key — its own fp when
+    *    the bucket is hot (from an index-side occupancy count), else 0
+    *    — so the equi-join key becomes (bkey, grp) and a hot bucket's
+    *    candidates are O(wave·cap), never O(wave·m);
+    *  - a wave doc in a hot bucket therefore matches only its own
+    *    exact-set family there — the measured degrade-to-exact-dup
+    *    tradeoff of [[capBands]], priced by the q138 gate.
+    *
+    * Scale shape: the band table (bucketed on bkey) feeds BOTH the
+    * occupancy count and the windowed cap EXCHANGE-FREE (window/agg
+    * partition keys = the bucket key); the wave pays its one bkey
+    * shuffle, which the (bkey, grp) join then reuses (bkey alone
+    * co-locates every (bkey, grp) key). Requires the band table to
+    * carry an `sg` = [[contentFp]] column (write band rows via
+    * `bandKeysOf(sig.withColumn("sg", contentFp($"hl")), Seq("sg"))`).
+    * [[verifiedDupCappedCte]] is the oracle mirror. */
+  def verifiedDupPairsCapped(wsig: DataFrame, docTable: String,
+                             bandTable: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = wsig.sparkSession
+    val ib = ss.table(bandTable) // (doc_id, bkey, sg), bucketed on bkey
+    val hot = count(lit(1)).over(Window.partitionBy(col("bkey"))) > cap
+    val idx = ib
+      .withColumn("grp", when(hot, col("sg")).otherwise(lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkey"), col("grp")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id").as("idx_id"), col("bkey"), col("grp"))
+    val occ = ib.groupBy(col("bkey")).agg(count(lit(1)).as("occ"))
+    val wb = bandKeysOf(wsig.withColumn("sg", contentFp(col("hl"))),
+        passthru = Seq("sg"))
+      .withColumnRenamed("doc_id", "w_id")
+      .join(occ, Seq("bkey")) // inner: a bkey absent from the index has no candidates
+      .withColumn("grp", when(col("occ") > cap, col("sg")).otherwise(lit(0L)))
+      .select(col("w_id"), col("bkey"), col("grp"))
+    val cand = wb.join(idx, Seq("bkey", "grp"))
+      .select(col("w_id"), col("idx_id")).distinct()
+    verifyPairs(cand, wsig, docTable)
   }
+
+  /** The ACCEPT side of the capped contract — [[acceptAgainstIndex]]
+    * with [[verifiedDupPairsCapped]] as the candidate generator. */
+  def acceptAgainstIndexCapped(wsig: DataFrame, docTable: String,
+                               bandTable: String, cap: Int): DataFrame =
+    wsig.join(
+      verifiedDupPairsCapped(wsig, docTable, bandTable, cap)
+        .select(col("w_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** The ACCEPT side of the contract: wave docs with no verified match
     * in the index (these are what an epoch commit appends). Anti-join
@@ -294,4 +376,49 @@ object MinhashPipeline {
        |    JOIN $idxDocs id ON id.doc_id = c.idx_id
        |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
        |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold""".stripMargin
+
+  /** Oracle mirror of [[verifiedDupPairsCapped]] +
+    * [[acceptAgainstIndexCapped]]'s dup side: distinct wave docs with
+    * a verified match through the HOT-BUCKET-CAPPED candidate join.
+    * Index-side hot buckets (occupancy > cap) split by the content
+    * fingerprint and keep the `cap` lowest doc_ids per (bkey, grp);
+    * wave rows compute the same group key from the index occupancy.
+    * The fold list_sorts `hl` because [[minhashCtes]]' lists are
+    * distinct-but-unsorted (the engine's are sorted already) — same
+    * convention as [[capBandsCte]]. */
+  def verifiedDupCappedCte(wPfx: String, idxDocs: String,
+                           idxBands: String, cap: Int): String = {
+    val fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort(hl)),
+       |          (a, x) -> (a * 31 + x) % ${TF.HashMod})""".stripMargin
+    s"""SELECT DISTINCT w_id FROM (
+       |    SELECT c.w_id,
+       |      CAST(len(list_intersect(wd.hl, id.hl)) AS BIGINT) AS inter,
+       |      wd.sz AS sz_w, id.sz AS sz_i
+       |    FROM (
+       |      SELECT DISTINCT w.w_id, i.idx_id FROM (
+       |        SELECT wb.doc_id AS w_id, wb.bkey,
+       |          CASE WHEN o.occ > $cap THEN ws.sg ELSE 0 END AS grp
+       |        FROM ${wPfx}bands wb
+       |        JOIN (SELECT doc_id, $fold AS sg
+       |              FROM ${wPfx}docs) ws ON ws.doc_id = wb.doc_id
+       |        JOIN (SELECT bkey, count(*) AS occ
+       |              FROM $idxBands GROUP BY 1) o ON o.bkey = wb.bkey
+       |      ) w JOIN (
+       |        SELECT doc_id AS idx_id, bkey, grp FROM (
+       |          SELECT doc_id, bkey, grp,
+       |            row_number() OVER (PARTITION BY bkey, grp ORDER BY doc_id) AS rn
+       |          FROM (
+       |            SELECT ib.doc_id, ib.bkey,
+       |              CASE WHEN count(*) OVER (PARTITION BY ib.bkey) > $cap
+       |                   THEN s.sg ELSE 0 END AS grp
+       |            FROM $idxBands ib
+       |            JOIN (SELECT doc_id, $fold AS sg
+       |                  FROM $idxDocs) s ON s.doc_id = ib.doc_id))
+       |        WHERE rn <= $cap
+       |      ) i ON i.bkey = w.bkey AND i.grp = w.grp) c
+       |    JOIN ${wPfx}docs wd ON wd.doc_id = c.w_id
+       |    JOIN $idxDocs id ON id.doc_id = c.idx_id
+       |    WHERE least(wd.sz, id.sz) * 10 >= greatest(wd.sz, id.sz) * 7)
+       |  WHERE inter * 1000 // (sz_w + sz_i - inter) >= $JaccThreshold""".stripMargin
+  }
 }

@@ -5581,6 +5581,124 @@ object QueriesLlm {
            |  UNION ALL SELECT 13, y_id FROM ysel)
            |SELECT epoch, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
            |FROM committed GROUP BY epoch ORDER BY epoch""".stripMargin
+      }),
+
+    // -- HOT-BUCKET-CONTROLLED wave-vs-INDEX accept: the production
+    // form of the index lifecycle's candidate generator. The r16
+    // scaling study (artifacts/r16_scaling_study.md) measured the
+    // UNCAPPED wave-vs-index band join of verifiedDupPairs — the
+    // accept path q99/q109/q110/q112 gate — at wall ∝ scale^~1.3 on
+    // the copy-dense scale-ups while the capped self-join siblings
+    // (q121/q127) hold ~linear: a band bucket holding m index docs
+    // pairs every colliding wave doc with all m, and m grows with the
+    // corpus wherever exact-copy families do (boilerplate at 100 TB —
+    // the q121 pathology, on the index join). This gate runs the q121
+    // cure adapted to the two-sided join
+    // (MinhashPipeline.verifiedDupPairsCapped): index-side hot buckets
+    // (occupancy > HotBucketCap) split by content fingerprint with the
+    // cap lowest doc_ids kept per (bkey, grp); wave rows compute the
+    // same group key from an index-occupancy lookup, so the equi-join
+    // key widens to (bkey, grp) and a hot bucket costs O(wave·cap),
+    // never O(wave·m). Exact-copy families stay findable through the
+    // cap (any surviving member represents them) — PROVEN here, not
+    // assumed: the seed index plants a 48-copy flood family (hot at
+    // cap=32) and the wave re-sends 6 exact copies of it, which the
+    // in-plan require() demands be REJECTED — the one property the
+    // oracle hash cannot enforce, since both engines would agree on a
+    // cap that silently dropped the family. The uncapped q109/q110
+    // accept stays gated as the semantics BASELINE this form degrades
+    // from (hot buckets: near-dup -> exact-set-dup, q121's measured
+    // tradeoff). 100 TB: the band table (bucketed on bkey) feeds the
+    // occupancy count AND the windowed cap exchange-free; the wave
+    // pays one bkey shuffle that the (bkey, grp) join reuses;
+    // candidates are wave-linear by construction
+    // (IndexAcceptCapSpec gates the plan + benign-corpus equivalence).
+    Q("q138_index_accept_hotcap",
+      (spark, dir) => {
+        import graft.functions.DedupConfig.HotBucketCap
+        import graft.functions.MinhashPipeline.{contentFp, acceptAgainstIndexCapped}
+        val root = s"${Fixtures.scratchRoot}/idxacccap"
+        val docTable = "graft_q138_docs"
+        val bandTable = "graft_q138_bands"
+        spark.sql(s"DROP TABLE IF EXISTS $docTable")
+        spark.sql(s"DROP TABLE IF EXISTS $bandTable")
+        Fixtures.rmrf(new java.io.File(root))
+        // q99/q109/q110's corpus contract
+        val corpus = table(spark, dir, "documents")
+          .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+          .select("doc_id", "lang", "text")
+        // flood source: first substantial doc (deterministic; 1 row,
+        // read twice — seed family and wave copies)
+        val fl = corpus.filter(length(col("text")) >= 50)
+          .orderBy(col("doc_id")).limit(1).select("lang", "text")
+          .localCheckpoint(true)
+        def copies(base: Long, n: Int) = fl
+          .select(explode(sequence(lit(0L), lit(n - 1L))).as("i"),
+            col("lang"), col("text"))
+          .select((lit(base) + col("i")).as("doc_id"), col("lang"), col("text"))
+        // seed index = corpus + a 48-copy flood family (hot at cap 32)
+        val seed = corpus.unionByName(copies(700000L, 48))
+        val sig = signedDocs(seed).localCheckpoint(true)
+        val nb = graft.functions.DedupConfig.IndexBuckets
+        graft.sources.Bucketed.writeBucketed(
+          sig.select(col("doc_id"), col("lang"), col("hl"), col("sz")),
+          docTable, nb, Seq("doc_id"), path = Some(s"$root/docs"))
+        // band rows carry the content fingerprint the capped join
+        // splits hot buckets by — written once at commit time
+        graft.sources.Bucketed.writeBucketed(
+          bandKeysOf(sig.withColumn("sg", contentFp(col("hl"))),
+            passthru = Seq("sg")),
+          bandTable, nb, Seq("bkey"), path = Some(s"$root/bands"))
+        val wave = corpus.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L) // exact copies -> reject
+          .unionByName(copies(750000L, 6)) // flood re-sends -> reject THROUGH the hot bucket
+          .unionByName(corpus.filter(col("doc_id") % 20 === 4)
+            .withColumn("doc_id", col("doc_id") + 400000L)
+            .withColumn("text", reverse(col("text")))) // decoys -> accept
+        val wsig = signedDocs(wave).localCheckpoint(true)
+        val acc = acceptAgainstIndexCapped(wsig, docTable, bandTable,
+          HotBucketCap).localCheckpoint(true)
+        // recall-through-the-cap proof the oracle hash cannot give:
+        // the flood family's wave copies must still be FOUND (rejected)
+        // even though their bucket is over-cap
+        val floodAccepted = acc
+          .filter(col("doc_id") >= 750000L && col("doc_id") <= 750005L).count()
+        require(floodAccepted == 0L,
+          s"$floodAccepted flood-family wave copies were accepted as novel; " +
+            "the hot-bucket cap must keep exact-copy families findable")
+        acc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+            sum(col("doc_id")).as("sum_id"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        import graft.functions.DedupConfig.HotBucketCap
+        import graft.functions.MinhashPipeline.verifiedDupCappedCte
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE doc_id % 4 = 0 AND len(text) >= 3),
+           |fl AS (SELECT lang, text FROM corpus WHERE len(text) >= 50
+           |       ORDER BY doc_id LIMIT 1),
+           |seedt AS (
+           |  SELECT doc_id, lang, text FROM corpus
+           |  UNION ALL
+           |  SELECT 700000 + i.i, lang, text FROM fl, generate_series(0, 47) i(i)),
+           |wv AS (
+           |  SELECT doc_id + 200000 AS doc_id, lang, text FROM corpus
+           |  WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT 750000 + i.i, lang, text FROM fl, generate_series(0, 5) i(i)
+           |  UNION ALL
+           |  SELECT doc_id + 400000, lang, reverse(text) FROM corpus
+           |  WHERE doc_id % 20 = 4),
+           |${minhashCtes("i", "seedt")},
+           |${minhashCtes("w", "wv")},
+           |dup AS (
+           |  ${verifiedDupCappedCte("w", "idocs", "ibands", HotBucketCap)}),
+           |acc AS (SELECT doc_id, lang, sz FROM wdocs
+           |        WHERE doc_id NOT IN (SELECT w_id FROM dup))
+           |SELECT lang, count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_sz,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+           |FROM acc GROUP BY lang ORDER BY lang""".stripMargin
       })
   )
 }

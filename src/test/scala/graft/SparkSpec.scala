@@ -11,6 +11,9 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // subset co-partitioning — see Bench.scala: keeps bucketed stores
+    // exchange-free under composite-key probe joins
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()

@@ -30,9 +30,12 @@ ROLES = {
     "q88_dedup_pipeline": "PRODUCTION (banded candidate->verify->components->canonical)",
     "q45_knn_lsh": "PRODUCTION (LSH-bucketed k-NN)",
     "q53_knn_ivf": "PRODUCTION (IVF cell-blocked k-NN)",
-    "q131_semantic_hotcell_cap": "PRODUCTION (flood-capped q118; hot cells split by qv fingerprint, r11_semcap_quality.json)",
+    "q131_semantic_hotcell_cap": "PRODUCTION shape at the PINNED gate K=8 — at fixed K its COLD-cell pair cost grows (n/K)²·K (measured sf10, r16_scaling_study.md); deployment K comes from the q134 occupancy hand-off, which holds it linear (Prof semscale)",
     "q92_dedup_prefix_filter": "exact Jaccard with prefix-filter pruning (its own production form)",
     "q117_ivf_nprobe": "quality ladder (measurement query)",
+    "q109_stream_dedup": "LIFECYCLE GATE whose accept path is the uncapped wave-vs-index baseline (candidates ∝ copy-family²; r16 scaling study) — production accept: q138_index_accept_hotcap",
+    "q110_index_compaction": "LIFECYCLE GATE (compaction semantics) whose accept path is the uncapped baseline — production accept: q138_index_accept_hotcap",
+    "q138_index_accept_hotcap": "PRODUCTION (hot-bucket-capped wave-vs-index accept; candidates wave-linear, IndexAcceptCapSpec)",
 }
 
 
