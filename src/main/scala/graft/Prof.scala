@@ -913,7 +913,18 @@ object Prof {
     // q134's discipline: 2-probe spill rows / K <= OccBudget
     val kMeasured = math.max(8L, 2L * n / OccBudget).toInt
     println(s"PROF semscale corpus n=$n  pinned K=8  measured K=$kMeasured")
-    Seq(8, kMeasured).foreach { k =>
+    // arm selection: the pinned-K arm is quadratic BY DESIGN at sf10
+    // (that is the finding) — if a run of it must be abandoned for
+    // wall-clock, SPARK_GRAFT_SEMSCALE_KS=measured reruns just the
+    // linear arm ("8"/"measured"/explicit ints, comma-separated)
+    val arms = sys.env.get("SPARK_GRAFT_SEMSCALE_KS")
+      .map(_.split(",").toSeq.map {
+        case "measured" => kMeasured
+        case "8"        => 8
+        case s          => s.trim.toInt
+      })
+      .getOrElse(Seq(8, kMeasured))
+    arms.foreach { k =>
       val cents = time(s"semscale train K=$k")(
         IvfKmeans.train(e.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id"), col("qv")), k, 3).localCheckpoint(true))
