@@ -42,17 +42,23 @@ object MinhashPipeline {
     * `sorted_inter_count`. One definition for q108 (uncapped band
     * self-join) and q127 (hot-bucket-controlled form) so a retune can
     * never drift the two apart; [[minhashWordCtes]] is the oracle
-    * mirror. Output (doc_id, hl, sz, sig) — [[signedDocs]]'s shape
-    * minus `lang`, so [[bandKeysOf]]/[[capBands]] compose unchanged. */
-  def signedDocsWord(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
-    .filter(size(col("t")) >= 2)
-    .select(col("doc_id"), sort_array(array_distinct(
-      transform(sequence(lit(1), size(col("t")) - 1),
-        i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
-          element_at(col("t"), i + 1)))))).as("hl"))
-    .withColumn("sz", size(col("hl")).cast("long"))
-    .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+    * mirror. Output (doc_id, <passthru>, hl, sz, sig) — [[signedDocs]]'s
+    * shape minus `lang`, so [[bandKeysOf]]/[[capBands]] compose
+    * unchanged. `passthru` names extra input columns to carry through
+    * (r16: q108's class-blocked form rides its class doc-id list). */
+  def signedDocsWord(df: DataFrame, passthru: Seq[String] = Nil): DataFrame = {
+    val keep = (col("doc_id") +: passthru.map(col)) :+
+      TF.tokens(lower(col("text"))).as("t")
+    val kept = col("doc_id") +: passthru.map(col)
+    df.select(keep: _*)
+      .filter(size(col("t")) >= 2)
+      .select(kept :+ sort_array(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1)))))).as("hl"): _*)
+      .withColumn("sz", size(col("hl")).cast("long"))
+      .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
+  }
 
   /** DuckDB CTE block replaying the WORD-BIGRAM derivation of
     * [[signedDocsWord]] + [[bandKeysOf]] for `src` (doc_id, text) under

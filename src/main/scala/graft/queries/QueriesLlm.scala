@@ -112,24 +112,104 @@ object QueriesLlm {
       .localCheckpoint(true)
   }
 
+  /** EXACT-TEXT CLASS COLLAPSE (r16 optimization round): documents
+    * with IDENTICAL text have identical shingle/bigram sets, hence
+    * identical bitmaps, signatures, band keys, and pairwise similarity
+    * against everything — so the quadratic dedup baselines
+    * (q41/q43/q52/q92/q108) run their candidate + verify stages over
+    * ONE representative per distinct text and re-expand qualifying
+    * class pairs to doc pairs afterwards. This is the engine-side twin
+    * of the r15 ORACLE class-blocking rewrites (minhashWordClassCtes,
+    * pairsCteSql's cls block): same collapse, same re-expansion, same
+    * exactness argument — within-class pairs are J=1000 by
+    * construction (callers guard the non-empty-set condition that made
+    * the doc-level jaccard NULL — 0 DIV 0 — on empty sets), and a
+    * cross-class doc pair inherits its class pair's jaccard because
+    * every per-doc derived quantity is a pure function of the text.
+    * Result sets are byte-identical (oracle hashes pin it;
+    * ClassBlockingEquivalenceSpec pins it against the doc-level forms
+    * on corpora with empty/short/copy-heavy texts). 100 TB: exact-copy
+    * collapse BEFORE a quadratic stage is the q40/q88 discipline —
+    * copy-dense corpora are exactly where the baselines' candidate
+    * streams explode (guide §2.3 shuffle fewer bytes / §8 decide on
+    * small rows: the heavy stage runs on ~n/10 class rows here).
+    *
+    * Groups by (keyCols..., text) with q40's 8-byte fingerprint as the
+    * shuffle key; returns (<keyCols>, text, rid = min doc_id,
+    * dids = sorted member doc ids). */
+  private def textClasses(df: org.apache.spark.sql.DataFrame,
+                          keyCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("fp", xxhash64(col("text")))
+      .repartition(keys :+ col("fp"): _*)
+      .groupBy(keys :+ col("fp") :+ col("text"): _*)
+      .agg(min(col("doc_id")).as("rid"),
+        sort_array(collect_list(col("doc_id"))).as("dids"))
+      .drop("fp")
+  }
+
+  /** Re-expansion of class-level verified pairs to doc-level pairs
+    * (the LATERAL-unnest tail of the r15 oracle rewrites, in Spark):
+    * `cpx` carries (da, db, jacc_x1000) — the two classes' member-id
+    * lists and the class pair's jaccard — and `withinCls` the classes
+    * whose members pair with each other at J=1000 (callers pre-filter
+    * the guards: >= 2 members, non-empty element set). Each unordered
+    * doc pair appears exactly once: cross pairs because unordered
+    * class pairs enter `cpx` once (rid_a < rid_b) and a doc belongs to
+    * exactly one class; within pairs by the x < y cut. */
+  private def expandClassPairs(cpx: org.apache.spark.sql.DataFrame,
+                               withinCls: org.apache.spark.sql.DataFrame,
+                               aCol: String, bCol: String): org.apache.spark.sql.DataFrame = {
+    val cross = cpx
+      .select(explode(col("da")).as("x"), col("db"), col("jacc_x1000"))
+      .select(col("x"), explode(col("db")).as("y"), col("jacc_x1000"))
+      .select(least(col("x"), col("y")).as(aCol),
+        greatest(col("x"), col("y")).as(bCol), col("jacc_x1000"))
+    val within = withinCls
+      .select(explode(col("dids")).as("x"), col("dids"))
+      .select(col("x"), explode(col("dids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as(aCol), col("y").as(bCol),
+        lit(1000L).as("jacc_x1000"))
+    cross.unionByName(within)
+  }
+
   /** Exact same-language Jaccard near-dup pairs via the SetSimJoin
     * bitmap pipeline — shared by q43 (pair listing) and q52
-    * (clustering). Columns: doc_a, doc_b, jacc_x1000. */
+    * (clustering). Columns: doc_a, doc_b, jacc_x1000.
+    *
+    * r16: class-blocked by (lang, text) — [[textClasses]]; the engine
+    * twin of pairsCteSql's cls block. The O(classes²) bitmap-popcount
+    * enumeration replaces the O(docs²) one; within-class pairs expand
+    * at J=1000 guarded by sz >= 1 (empty shingle sets made the
+    * doc-level jaccard NULL — 0 DIV 0 — and the threshold filter
+    * dropped them). */
   private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sh = table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), TF.shingles(col("text"), 3).as("sh"))
+    val cls = textClasses(table(spark, dir, "documents"), keyCols = Seq("lang"))
+    val sh = cls.select(col("rid").as("doc_id"), col("lang"), col("dids"),
+      TF.shingles(col("text"), 3).as("sh"))
     val bm = graft.operators.SetSimJoin.withBitmap(sh, "doc_id", "sh")
-      .select(col("doc_id"), col("lang"), col("sz"), col("bm"))
-      // materialized once — both sides of the pair self-join read it
+      .select(col("doc_id"), col("lang"), col("dids"), col("sz"), col("bm"))
+      // materialized once — both sides of the class self-join read it
       .localCheckpoint(true)
-    bm.as("a").join(broadcast(bm.as("b")),
+    // the O(classes²) enumeration keeps the doc-level form's row width
+    // (id, lang, sz, bm); member lists re-attach to survivors only
+    val slim = bm.drop("dids")
+    val rpairs = slim.as("a").join(broadcast(slim.as("b")),
         col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
           sizeRatioOk(col("a.sz"), col("b.sz")))
       .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
         col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
       .filter(col("jacc_x1000") >= JaccThreshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"), col("jacc_x1000"))
+    val ids = bm.select(col("doc_id"), col("dids"))
+    val cpx = rpairs
+      .join(ids.select(col("doc_id").as("ra"), col("dids").as("da")), "ra")
+      .join(ids.select(col("doc_id").as("rb"), col("dids").as("db")), "rb")
+      .select(col("da"), col("db"), col("jacc_x1000"))
+    expandClassPairs(cpx,
+      bm.filter(col("sz") >= 1 && size(col("dids")) >= 2), "doc_a", "doc_b")
   }
 
   /** DuckDB CTE fragment producing the same near-dup pairs (exact
@@ -398,8 +478,21 @@ object QueriesLlm {
     // (band_idx, band_key) instead of forming n^2 pairs.
     Q("q41_dedup_minhash_lsh",
       (spark, dir) => {
-        val sh = table(spark, dir, "documents")
-          .select(col("doc_id"), col("text"), TF.shingles(col("text"), 3).as("sh"))
+        // r16: engine-side CLASS BLOCKING — the r15 oracle rewrite's
+        // collapse, now mirrored by the engine (see textClasses).
+        // Identical texts share the shingle set, hence bitmap,
+        // signature, and band keys, so the band self-join + inline
+        // verify run over one representative per distinct text
+        // (~n/10 rows on copy-dense corpora) and qualifying class
+        // pairs re-expand to doc pairs. Within-class pairs collide in
+        // every band (identical non-NULL keys whenever the shingle set
+        // is non-empty — empty sets produce NULL band keys and NULL
+        // jaccard in the doc form, hence the sz >= 1 guard) and are
+        // J=1000 by construction. Identical output, verified by the
+        // unchanged oracle hash.
+        val cls = textClasses(table(spark, dir, "documents"))
+        val sh = cls.select(col("rid").as("doc_id"), col("dids"), col("text"),
+          TF.shingles(col("text"), 3).as("sh"))
         // one frame carries signature AND verification bitmap, so the
         // band self-join verifies candidates inline — no second join to
         // fetch bitmaps for the (band-count x) candidate stream
@@ -412,24 +505,28 @@ object QueriesLlm {
         val sig = bmdf
           .withColumn("hl", TF.shingleHashes(col("text")))
           .withColumn("sig", TF.minhashSignatureNative(col("hl"), K))
-          .drop("text", "hl")
+          .drop("text", "hl", "sh")
           .localCheckpoint(true)
+        // the candidate stream is the expensive stage (flooded trigram
+        // buckets: ~20.5M collisions at sf0.1) — keep its row width
+        // EXACTLY the doc-level form's (id, sz, bm, band cols); the
+        // class member lists re-attach to the tiny survivor set below
+        // (measured: carrying `dids` through this join doubled q41)
         val bands = sig.select(col("doc_id"), col("sz"), col("bm"),
           posexplode(array((0 until Bands).map(b =>
             TF.bandKey(col("sig"), b, Rpb)): _*)).as(Seq("band_idx", "band_key")))
         // the size-ratio cut prunes pairs that provably cannot reach
         // the threshold before any intersection is computed; the
         // AND+popcount verify (native bitmap_inter_count) runs inside
-        // the join, and a pair colliding in several bands is verified
-        // per collision and deduped AFTER the filter — re-running the
-        // cheap popcount beats a full shuffle dedup of the candidate
-        // stream, and only surviving near-dup rows reach the distinct.
-        // No broadcast hint: the bands frame IS the corpus (x Bands), so
-        // the (band_idx, band_key) equi-join must shuffle — band keys
-        // are uniform minhash outputs, so the buckets stay balanced at
-        // any scale, and AQE picks a broadcast side automatically only
-        // when the input really is small.
-        bands.as("a")
+        // the join, and a class pair colliding in several bands is
+        // verified per collision and deduped AFTER the filter —
+        // re-running the cheap popcount beats a full shuffle dedup of
+        // the candidate stream, and only surviving near-dup rows reach
+        // the distinct. No broadcast hint: the bands frame is the
+        // class-collapsed corpus (x Bands), so the (band_idx, band_key)
+        // equi-join shuffles; band keys are uniform minhash outputs, so
+        // the buckets stay balanced at any scale.
+        val rpairs = bands.as("a")
           .join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&
@@ -438,8 +535,16 @@ object QueriesLlm {
           .withColumn("jacc_x1000", graft.operators.SetSimJoin.jaccardX1000(
             col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")))
           .filter(col("jacc_x1000") >= JaccThreshold)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jacc_x1000"))
+          .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"), col("jacc_x1000"))
           .distinct()
+        val ids = sig.select(col("doc_id"), col("dids"))
+        val cpx = rpairs
+          .join(ids.select(col("doc_id").as("ra"), col("dids").as("da")), "ra")
+          .join(ids.select(col("doc_id").as("rb"), col("dids").as("db")), "rb")
+          .select(col("da"), col("db"), col("jacc_x1000"))
+        expandClassPairs(cpx,
+            sig.filter(col("sz") >= 1 && size(col("dids")) >= 2),
+            "doc_a", "doc_b")
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
@@ -543,24 +648,45 @@ object QueriesLlm {
         // definition for this uncapped BASELINE and q127's
         // hot-bucket-controlled production form); band self-join
         // consumes both sides — materialize the signature pass once
-        // (the q41/q82 rule)
-        val base = signedDocsWord(table(spark, dir, "documents"))
+        // (the q41/q82 rule).
+        // r16: class-blocked by exact text (textClasses) — the engine
+        // twin of the oracle's minhashWordClassCtes: the self-join and
+        // the sorted-intersect verify run over class representatives
+        // and re-expand. Classes whose text fails signedDocsWord's
+        // >= 2-token filter drop out entirely, exactly as their member
+        // docs did in the doc-level form; surviving classes have a
+        // non-empty hl, so every within-class pair collides (identical
+        // bands) at J=1000, no extra guard needed.
+        val cls = textClasses(table(spark, dir, "documents"))
+          .select(col("rid").as("doc_id"), col("text"), col("dids"))
+        val base = signedDocsWord(cls, passthru = Seq("dids"))
           .localCheckpoint(true)
+        // band join stays at the doc-level form's row width — the class
+        // member lists re-attach to the survivor pairs only (the q41
+        // measurement: arrays riding the candidate stream cost more
+        // than the collapse saves on a copy-free corpus)
         val bands = bandKeysOf(base, passthru = Seq("sz", "hl"))
-        bands.as("a")
+        val rpairs = bands.as("a")
           .join(bands.as("b"),
             col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id") &&
               sizeRatioOk(col("a.sz"), col("b.sz")))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
             col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
             call_function("sorted_inter_count",
               col("a.hl"), col("b.hl")).as("inter"))
           .withColumn("jacc_x1000",
             expr("inter * 1000 DIV (sz_a + sz_b - inter)"))
           .filter(col("jacc_x1000") >= JaccThreshold)
-          .select(col("doc_a"), col("doc_b"), col("jacc_x1000"))
+          .select(col("ra"), col("rb"), col("jacc_x1000"))
           .distinct()
+        val ids = base.select(col("doc_id"), col("dids"))
+        val cpx = rpairs
+          .join(ids.select(col("doc_id").as("ra"), col("dids").as("da")), "ra")
+          .join(ids.select(col("doc_id").as("rb"), col("dids").as("db")), "rb")
+          .select(col("da"), col("db"), col("jacc_x1000"))
+        expandClassPairs(cpx, base.filter(size(col("dids")) >= 2),
+            "doc_a", "doc_b")
           .orderBy(col("doc_a"), col("doc_b"))
       },
       // r15: class-blocked via minhashWordClassCtes (identical texts
@@ -1397,16 +1523,37 @@ object QueriesLlm {
         // elements are HASHED bigrams (the shared integer polynomial,
         // reproduced in the oracle): long compares/intersections beat
         // string ones throughout the pipeline — the standard
-        // hashed-shingle representation
-        val bg = table(spark, dir, "documents")
-          .filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("t"))
+        // hashed-shingle representation.
+        // r16: class-blocked by exact text (textClasses) — the engine
+        // twin of the oracle's bcls block: the prefix-filter join runs
+        // over class representatives and re-expands. Prefix filtering
+        // is exact under ANY global element order (the theorem in
+        // SetSimJoin.prefixFilterJoin holds for every total order), so
+        // class-level frequencies vs doc-level ones change only which
+        // candidates are pruned, never the verified result set.
+        // Surviving classes (>= 2 tokens) have non-empty sh, so every
+        // within-class pair verifies at J=1000 in the doc form.
+        val cls = textClasses(
+          table(spark, dir, "documents").filter(col("doc_id") % 4 === 0))
+        val bg = cls
+          .select(col("rid").as("doc_id"), col("dids"),
+            TF.tokens(lower(col("text"))).as("t"))
           .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), array_distinct(
+          .select(col("doc_id"), col("dids"), array_distinct(
             transform(sequence(lit(1), size(col("t")) - 1),
               i => TF.polyHash(concat(element_at(col("t"), i), lit(" "),
                 element_at(col("t"), i + 1))))).as("sh"))
-        graft.operators.SetSimJoin.prefixFilterJoin(bg, "doc_id", "sh", 700)
+          // read by the prefix join input, the dids re-attach, and the
+          // within-class expansion
+          .localCheckpoint(true)
+        val reps = graft.operators.SetSimJoin
+          .prefixFilterJoin(bg.select("doc_id", "sh"), "doc_id", "sh", 700)
+        val dids = bg.select(col("doc_id"), col("dids"))
+        val cpx = reps
+          .join(dids.select(col("doc_id").as("id_a"), col("dids").as("da")), "id_a")
+          .join(dids.select(col("doc_id").as("id_b"), col("dids").as("db")), "id_b")
+          .select(col("da"), col("db"), col("jacc_x1000"))
+        expandClassPairs(cpx, bg.filter(size(col("dids")) >= 2), "id_a", "id_b")
           .orderBy(col("id_a"), col("id_b"))
       },
       // r15: the plain quadratic form, class-blocked like pairsCteSql
