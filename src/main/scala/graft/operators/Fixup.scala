@@ -58,16 +58,28 @@ object Fixup {
     * (g_chr, g_start, g_stop) dim. Compare is effectively the
     * reference's case-insensitive one (both sides lowercase). */
   def genicStatusDrift(variants: DataFrame, genes: DataFrame): DataFrame = {
-    val hits = RangeJoin.pointInIntervalLeftOuter(
-        variants.select(col("vid"), col("chromosome"), col("start_pos")),
-        genes, Seq("chromosome"), Seq("g_chr"), "start_pos",
+    // r16 (guide §2.4 remove shuffles outright): the re-derivation is
+    // an EXISTENCE test, so gene identity is irrelevant — merge
+    // overlapping gene intervals per chromosome first (two windows +
+    // one aggregation on the DIM side, which broadcasts anyway). The
+    // merged set is disjoint, so the binned broadcast join emits
+    // exactly one row per variant row and the former per-vid
+    // aggregation + join-back — TWO full-corpus exchanges per call,
+    // and q106 calls this three times — disappear: the whole
+    // re-derivation is now map-side against the broadcast. Identical
+    // result under the existing unique-vid contract (coverage is
+    // preserved exactly by the merge; FixupSpec pins equivalence on
+    // overlapping/nested/duplicate-coverage fixtures).
+    val merged = RangeJoin.mergeIntervals(
+      genes.select(col("g_chr"), col("g_start"), col("g_stop")),
+      Seq("g_chr"), "g_start", "g_stop")
+    RangeJoin.pointInIntervalLeftOuter(
+        variants, merged, Seq("chromosome"), Seq("g_chr"), "start_pos",
         "g_start", "g_stop", binSize = 100000L, broadcastIntervals = true)
-      .groupBy(col("vid"))
-      .agg(max(when(col("gene_id").isNotNull, 1).otherwise(0)).as("__hit"))
-      .select(col("vid"),
-        when(col("__hit") === 1, "genic").otherwise("intergenic").as("recomputed"))
-    variants.join(hits, "vid")
+      .withColumn("recomputed",
+        when(col("g_start").isNotNull, "genic").otherwise("intergenic"))
       .withColumn("drifted", !(col("genic_status") <=> col("recomputed")))
+      .drop("g_chr", "g_start", "g_stop")
   }
 
   /** NumAllelesFixUp (`fixup/NumAllelesFixUp.java:46-99`): among rows

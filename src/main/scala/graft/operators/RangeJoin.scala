@@ -118,6 +118,35 @@ object RangeJoin {
       .drop("__lbin").drop("__rbin")
   }
 
+  /** Merge overlapping intervals per key group (classic sweep: a new
+    * merged group starts where an interval's start exceeds the running
+    * max of all previous stops). Coverage-preserving and DISJOINT: a
+    * point lies inside some input interval iff it lies inside exactly
+    * ONE merged interval — so a point-in-interval join against the
+    * merged set emits at most one row per point, which lets
+    * existence-style consumers (genic/intergenic status) skip the
+    * per-point aggregation + join-back entirely (r16: the q106 fixup
+    * path). Only the key/start/stop columns survive (identity of the
+    * covering interval is gone — by definition of the merge). Both
+    * windows partition by the interval keys: this runs on the DIM side
+    * (genes), never the corpus. */
+  def mergeIntervals(intervals: DataFrame, keys: Seq[String],
+                     start: String, stop: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(start), col(stop))
+    val prevMax = max(col(stop))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    intervals.select(keys.map(col) :+ col(start) :+ col(stop): _*)
+      .withColumn("__newgrp",
+        when(prevMax.isNull || col(start) > prevMax, 1).otherwise(0))
+      .withColumn("__grp",
+        sum(col("__newgrp")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("__grp"): _*)
+      .agg(min(col(start)).as(start), max(col(stop)).as(stop))
+      .drop("__grp")
+  }
+
   /** Explode each interval row onto every bin its [start, stop] covers.
     * Adds column `binCol`. */
   private[operators] def explodeToBins(df: DataFrame, start: String, stop: String,

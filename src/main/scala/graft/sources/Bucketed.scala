@@ -33,7 +33,20 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String], mode: String = "overwrite",
                     path: Option[String] = None): Unit = {
-    val w = df.write.mode(mode).format("parquet")
+    // r16 (guide §6 file sizing): repartition by the bucket keys into
+    // exactly `buckets` partitions before the write. Spark's bucket id
+    // (pmod(Murmur3(keys), buckets)) is the same mapping as this
+    // HashPartitioning, so each task then holds exactly one bucket and
+    // the write emits ONE file per bucket (per append) instead of
+    // (upstream partitions x buckets) small files — without it a
+    // 32-partition frame wrote up to 32 files per bucket, paying
+    // task-commit overhead per file at write time and open/list
+    // overhead on every later bucket scan. At production scale the
+    // bucket count is chosen as tableBytes / ~256 MB, so one-task-per-
+    // bucket is also the intended output file size.
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.mode(mode).format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
