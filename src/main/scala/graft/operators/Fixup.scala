@@ -68,7 +68,7 @@ object Fixup {
     // and q106 calls this three times — disappear: the whole
     // re-derivation is now map-side against the broadcast. Identical
     // result under the existing unique-vid contract (coverage is
-    // preserved exactly by the merge; FixupSpec pins equivalence on
+    // preserved exactly by the merge; FixupDriftSpec pins equivalence on
     // overlapping/nested/duplicate-coverage fixtures).
     val merged = RangeJoin.mergeIntervals(
       genes.select(col("g_chr"), col("g_start"), col("g_stop")),
@@ -98,6 +98,30 @@ object Fixup {
           max(when(col("zygosity_ref_allele") === "Y", 1L).otherwise(0L)).over(w))
           .cast("int"))
       .withColumn("drifted", !(col("zygosity_num_allele") <=> col("recomputed")))
+  }
+
+  /** Join-free form of [[numAlleleDrift]]'s re-derivation, for callers
+    * that want the recomputed allele count ATTACHED to every row of the
+    * frame (in-scope rows get the site count, out-of-scope rows get
+    * NULL) instead of a filtered drift report. One window over the
+    * UNFILTERED frame replaces filter -> window -> join-back-on-vid —
+    * r17 (guide §2.4 remove shuffles outright): q106 used the
+    * join-back twice (fixture build and fix application), paying the
+    * site-key exchange PLUS two vid exchanges per use; this is the
+    * site-key exchange alone. Equivalence with
+    * filter(percent>0) -> [[numAlleleDrift]] -> join on unique vid is
+    * exact: the count counts only in-scope rows, the ref-allele bump
+    * sees only in-scope rows, and out-of-scope rows (which the
+    * filtered form never emits, so the join-back left NULL) get NULL
+    * here. Pinned in FixupDriftSpec. */
+  def numAlleleRecomputed: Column = {
+    val w = Window.partitionBy(
+      col("sample_id"), col("chromosome"), col("start_pos"))
+    val inScope = col("zygosity_percent_read") > 0
+    when(inScope,
+      (count(when(inScope, 1)).over(w) +
+        max(when(inScope && col("zygosity_ref_allele") === "Y", 1L)
+          .otherwise(0L)).over(w)).cast("int"))
   }
 
   /** ZygosityPercReadFixUp scope (`fixup/ZygosityPercReadFixUp.java:53-54`):

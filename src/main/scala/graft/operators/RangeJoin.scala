@@ -129,7 +129,15 @@ object RangeJoin {
     * path). Only the key/start/stop columns survive (identity of the
     * covering interval is gone — by definition of the merge). Both
     * windows partition by the interval keys: this runs on the DIM side
-    * (genes), never the corpus. */
+    * (genes), never the corpus.
+    *
+    * NULL bounds are DROPPED up front (r17, ADVICE r16): a NULL-start
+    * interval sorts first (NULLS FIRST), would start a group, and its
+    * stop would feed prevMax — a later interval could merge into it
+    * and inherit coverage no real interval has. A NULL-bound interval
+    * can never contain a point in any downstream range join (NULL
+    * comparisons are never true), so dropping it here preserves the
+    * coverage semantics exactly. */
   def mergeIntervals(intervals: DataFrame, keys: Seq[String],
                      start: String, stop: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -138,6 +146,7 @@ object RangeJoin {
     val prevMax = max(col(stop))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
     intervals.select(keys.map(col) :+ col(start) :+ col(stop): _*)
+      .filter(col(start).isNotNull && col(stop).isNotNull)
       .withColumn("__newgrp",
         when(prevMax.isNull || col(start) > prevMax, 1).otherwise(0))
       .withColumn("__grp",

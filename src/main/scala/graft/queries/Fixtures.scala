@@ -26,6 +26,17 @@ object Fixtures {
   val testdataRoot: String =
     sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
 
+  /** Committed measurement artifacts (r17, VERDICT r16 item 2): the
+    * bench's stdout line carries suite totals only (per-query maps
+    * overflowed the driver's tail capture in r5/r6), so per-query
+    * minima were invisible to round-over-round comparison —
+    * `PERF_rN.json` came back with `per_query: {}` every round. The
+    * bench now ALSO copies its detail JSON here, at a fixed
+    * per-core-count path, so the committed repo carries the per-query
+    * numbers each round. */
+  val artifactsRoot: String =
+    sys.env.getOrElse("GRAFT_ARTIFACTS_ROOT", "/root/repo/artifacts")
+
   /** Recursive delete (tiny local fixture trees only — the gates own
     * everything under `QueriesSources.FixtureDir`). */
   def rmrf(p: java.io.File): Unit = {

@@ -2429,10 +2429,18 @@ object QueriesLlm {
     // deeper guarantee is index-level: acceptance is an anti-join
     // against the committed index, so even a whole-wave replay AFTER
     // its epoch committed re-accepts nothing (every novelty now
-    // matches its own epoch entry). The gate PROVES that leg: after
-    // committing epoch 1 it clears the checkpoint, re-runs wave 1
-    // end-to-end, and requires the re-commit to add 0 docs — the
-    // q91 `pass(2)`-adds-0-rows contract applied to the epoch index.
+    // matches its own epoch entry) — the q91 pass-2-adds-0-rows
+    // contract applied to the epoch index. r17 (VERDICT r16 item 1):
+    // the proof of that leg — a commit-level re-commit and a
+    // checkpoint-cleared whole-wave replay, both required to add 0 —
+    // used to run INSIDE this gate every bench pass, re-deriving all
+    // of wave 1 (2 extra micro-batches + 2 no-op commits, ~4.3 s of
+    // the row's ~9 s wall, artifacts/r16_q109_attrib.md) to prove a
+    // property that does not depend on the corpus. It is now pinned
+    // once per build by `StreamReplaySpec` (replay acceptance == 0
+    // and staged re-commit == 0 against the committed index this
+    // query leaves on disk); the computed result is unchanged — the
+    // replay legs added 0 rows by construction.
     Q("q109_stream_dedup",
       (spark, dir) => {
         import org.apache.spark.sql.streaming.Trigger
@@ -2553,24 +2561,9 @@ object QueriesLlm {
         }
         runStream(1, s"$root/src1")
         commitEpoch(1)
-        // commit-level retry (no stream re-run, staged files still on
-        // disk): the anti-join must make it a no-op
-        val recommitted = commitEpoch(1)
-        require(recommitted == 0L,
-          s"commit-level retry of epoch 1 added $recommitted docs; " +
-            "commitEpoch must be idempotent independently of staging")
-        // ---- replay leg: wipe the checkpoint and re-run wave 1
-        // against the now-committed index. Every doc epoch 1 accepted
-        // now matches its own index entry, so the replay must stage —
-        // and its re-commit must add — exactly 0 docs. This is the
-        // property that makes a cluster-side batch retry (or a whole
-        // re-submitted wave) harmless.
-        Fixtures.rmrf(new java.io.File(s"$root/ckpt_1"))
-        runStream(1, s"$root/src1")
-        val replayed = commitEpoch(1)
-        require(replayed == 0L,
-          s"checkpoint-cleared replay of wave 1 committed $replayed docs; " +
-            "staging must be idempotent under replay")
+        // (commit-level retry and checkpoint-cleared replay both add 0
+        // by the anti-join construction — pinned in StreamReplaySpec,
+        // not re-proven per bench pass; see the RETRY SAFETY note.)
         runStream(2, s"$root/src2")
         commitEpoch(2)
         spark.table(docTable)
@@ -3413,9 +3406,10 @@ object QueriesLlm {
     // vectors (accept unless a semantic near-dup ≥ 0.4 cosine is
     // already indexed); wave 2 carries copies of wave-1 novelties —
     // rejected ONLY if epoch 1 actually committed, so the gate proves
-    // commit visibility. An in-gate replay of wave 1 after its commit
-    // must accept exactly 0 (every acceptance now self-matches its own
-    // index entry). The oracle replays training, spill indexing, and
+    // commit visibility. A replay of wave 1 after its commit accepts
+    // exactly 0 (every acceptance now self-matches its own index
+    // entry) — pinned in StreamReplaySpec since r17, not re-proven per
+    // bench pass. The oracle replays training, spill indexing, and
     // both sequential waves in SQL; the rollup hashes per-epoch
     // committed (n_vecs, sum_id). 100 TB: waves shuffle only
     // themselves (probe side), the index never re-shuffles; spill
@@ -3453,12 +3447,10 @@ object QueriesLlm {
           .unionByName(e.filter(col("vec_id") % 20 === 1)
             .withColumn("vec_id", col("vec_id") + 400000L))
         SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w1), 1, h.buckets)
-        // replay proof: every wave-1 acceptance now self-matches its
-        // own index entry (probe cell ∈ its spilled cells, cos = 1)
-        val replayed = SemanticIndex.acceptWave(h, w1).count()
-        require(replayed == 0L,
-          s"replay of wave 1 accepted $replayed vectors; " +
-            "acceptance must be idempotent once committed")
+        // (replay-accepts-0 — every wave-1 acceptance self-matches its
+        // own index entry, probe cell ∈ its spilled cells at cos = 1 —
+        // is pinned in StreamReplaySpec rather than re-proven per
+        // bench pass; r17, see q109's RETRY SAFETY note.)
         SemanticIndex.commit(h, SemanticIndex.acceptWave(h, w2), 2, h.buckets)
         SemanticIndex.rollup(h)
       },
@@ -4765,14 +4757,16 @@ object QueriesLlm {
     // under ANY file-to-batch assignment — on a cluster, concurrent
     // dedup workers need no read-your-own-write coordination.
     //
-    // RETRY SAFETY, both layers proven in-gate exactly as q109:
-    // staging is one directory PER BATCH with per-batch OVERWRITE (a
-    // replayed batchId rewrites itself, never double-stages), commit
-    // is an id anti-join against the committed store (a commit-level
-    // retry and a checkpoint-cleared whole-wave replay must both add
-    // 0 vectors — the second is also semantic: every wave-1
-    // acceptance self-matches its own spill entry at cos = 1). Batch
-    // dirs are enumerated with the Hadoop FS API, not a `batch=*`
+    // RETRY SAFETY, both layers exactly as q109: staging is one
+    // directory PER BATCH with per-batch OVERWRITE (a replayed
+    // batchId rewrites itself, never double-stages), commit is an id
+    // anti-join against the committed store (a commit-level retry and
+    // a checkpoint-cleared whole-wave replay both add 0 vectors — the
+    // second is also semantic: every wave-1 acceptance self-matches
+    // its own spill entry at cos = 1). r17: both proofs are pinned in
+    // `StreamReplaySpec` rather than re-run per bench pass (q109's
+    // RETRY SAFETY note has the accounting). Batch dirs are
+    // enumerated with the Hadoop FS API, not a `batch=*`
     // glob (the r10 FileStreamSink WARN-trace lesson). 100 TB:
     // per-batch cost is batch-sized (probe assignment vs the 1-row
     // broadcast centroid frame + one cell-keyed join); the store pays
@@ -4859,18 +4853,9 @@ object QueriesLlm {
         }
         runStream(1, s"$root/src1")
         commitEpoch(1)
-        val recommitted = commitEpoch(1)
-        require(recommitted == 0L,
-          s"commit-level retry of epoch 1 added $recommitted vectors; " +
-            "commitEpoch must be idempotent independently of staging")
-        // checkpoint-cleared whole-wave replay: every wave-1
-        // acceptance now self-matches its own spill entry (cos = 1)
-        Fixtures.rmrf(new java.io.File(s"$root/ckpt_1"))
-        runStream(1, s"$root/src1")
-        val replayed = commitEpoch(1)
-        require(replayed == 0L,
-          s"checkpoint-cleared replay of wave 1 committed $replayed " +
-            "vectors; acceptance must be idempotent once committed")
+        // (commit-level retry and checkpoint-cleared replay both add 0
+        // by the anti-join construction — pinned in StreamReplaySpec,
+        // not re-proven per bench pass; see q109's RETRY SAFETY note.)
         runStream(2, s"$root/src2")
         commitEpoch(2)
         SemanticIndex.rollup(h)

@@ -600,23 +600,22 @@ object QueriesPipeline {
                 .otherwise("genic"))
               .otherwise(col("recomputed")))
           .drop("recomputed", "drifted")
-          // materialized once: both naTruth (the window below) and the
-          // stored0 join consume this interval-join subtree — without
-          // the checkpoint the corpus-wide dedup + binned broadcast
-          // join executes twice for the fixture write alone (the q82
-          // rule; this was the r6 `weak`)
-          .localCheckpoint(true)
+        // (r17: the r6-era localCheckpoint here is gone — it existed
+        // because naTruth and the stored0 join both consumed this
+        // subtree; the inline-window rewrite below leaves exactly ONE
+        // consumer, and the genic re-derivation is map-side since r16,
+        // so materializing it would only add an extra full pass)
         // corruption B: site-count truth (over the stored percent>0
         // scope) bumped by one on vid%17 rows; out-of-scope rows
-        // store the untouched default 1
-        val naTruth = Fixup.numAlleleDrift(
-            withGenic.withColumn("zygosity_num_allele", lit(0)))
-          .select(col("vid"), col("recomputed").as("__na"))
-        val stored0 = withGenic.join(naTruth, Seq("vid"), "left_outer")
+        // store the untouched default 1. Inline window form (r17,
+        // Fixup.numAlleleRecomputed): the old filter -> window ->
+        // join-back-on-vid paid the site exchange plus two vid
+        // exchanges in this write job; one unfiltered window is
+        // row-identical under the unique-vid contract.
+        val stored0 = withGenic
           .withColumn("zygosity_num_allele",
-            coalesce(col("__na") +
+            coalesce(Fixup.numAlleleRecomputed +
               when(col("vid") % 17 === 0, 1).otherwise(0), lit(1)))
-          .drop("__na")
         val path = s"${QueriesSources.FixtureDir}/fixup2_variants"
         stored0.write.mode("overwrite").parquet(path)
         val stored = spark.read.parquet(path)
@@ -627,16 +626,11 @@ object QueriesPipeline {
               storedC.cast("string").as("stored"),
               recomputedC.cast("string").as("recomputed"))
             .agg(count(lit(1)).as("n"), sum(col("vid")).as("sum_vid"))
-        def afterFix(name: String, stillDrifted: org.apache.spark.sql.DataFrame) =
-          stillDrifted.agg(count(lit(1)).as("n"))
-            .select(lit(name).as("check_name"), lit(false).as("drifted"),
-              lit("*").as("stored"), lit("*").as("recomputed"),
-              col("n"), lit(0L).as("sum_vid"))
         // materialized once: `a` (an interval join over the stored
-        // parquet) sits under the genic report AND — via fixedAC — both
-        // sides of the naFixed join; un-checkpointed it would execute
-        // three times. fixedAC itself is map-only over this checkpoint,
-        // so its two consumers only repeat cheap projections.
+        // parquet) sits under the genic report AND — via fixedAC — the
+        // fixed-table write; un-checkpointed it would execute twice
+        // (r17: the naFixed join-back that made it THREE consumers is
+        // now an inline window, Fixup.numAlleleRecomputed).
         val a = Fixup.genicStatusDrift(stored, g).localCheckpoint(true)
         val nA = Fixup.numAlleleDrift(stored)
         val c = Fixup.zygosityPercentScope(stored)
@@ -657,26 +651,52 @@ object QueriesPipeline {
               Fixup.zygosityLadder(col("zygosity_percent_read")))
               .otherwise(col("zygosity_status")))
           .drop("__snvFix")
-        val naFixed = Fixup.numAlleleDrift(fixedAC)
-          .select(col("vid"), col("recomputed").as("__na"))
+        // num_allele recomputed over the POST-fix percent>0 scope —
+        // inline window (r17), replacing the second filter -> window ->
+        // join-back-on-vid of this query (fixedAC no longer feeds both
+        // sides of a self-join; the fixed-table write is one window
+        // over the map-side projection of the `a` checkpoint)
         val fixedPath = s"$path-fixed"
-        fixedAC.join(naFixed, Seq("vid"), "left_outer")
+        fixedAC
           .withColumn("zygosity_num_allele",
-            coalesce(col("__na"), col("zygosity_num_allele")))
-          .drop("__na")
+            coalesce(Fixup.numAlleleRecomputed, col("zygosity_num_allele")))
           .write.mode("overwrite").parquet(fixedPath)
         val fixed = spark.read.parquet(fixedPath)
+        // after-fix recheck in ONE pass over the re-read fixed table
+        // (r17, guide §2.4/§6): the three separate afterFix branches
+        // each re-scanned `fixed` and paid their own aggregation
+        // exchange (22 Exchanges in the r16 report plan). All three
+        // rechecks are row-local once the genic re-derivation (map-side
+        // broadcast join) and the num-allele site window are attached,
+        // so one scan + one window + one aggregate computes all three
+        // remaining-drift counts; stack() re-shapes them into the same
+        // three report rows. Still computed from the persisted fixed
+        // table — the recheck semantics (a re-run job would read the
+        // store) are unchanged.
+        val afterAll = Fixup.genicStatusDrift(fixed, g)
+          .withColumn("__naRe", Fixup.numAlleleRecomputed)
+          .agg(
+            coalesce(sum(when(col("drifted"), 1L)), lit(0L)).as("n_genic"),
+            coalesce(sum(when(col("zygosity_percent_read") > 0 &&
+              !(col("zygosity_num_allele") <=> col("__naRe")), 1L)),
+              lit(0L)).as("n_na"),
+            coalesce(sum(when(col("variant_type") === "snv" &&
+              !(col("zygosity_percent_read") <=> col("var_freq")), 1L)),
+              lit(0L)).as("n_zyg"))
+          .select(expr("""stack(3,
+              'genic_status:after_fix', n_genic,
+              'num_allele:after_fix', n_na,
+              'zygosity_perc_read:after_fix', n_zyg)
+            AS (check_name, n)"""))
+          .select(col("check_name"), lit(false).as("drifted"),
+            lit("*").as("stored"), lit("*").as("recomputed"),
+            col("n"), lit(0L).as("sum_vid"))
         report("genic_status", a, col("genic_status"), col("recomputed"))
           .unionByName(report("num_allele", nA,
             col("zygosity_num_allele"), col("recomputed")))
           .unionByName(report("zygosity_perc_read", c,
             col("zygosity_status"), col("recomputed")))
-          .unionByName(afterFix("genic_status:after_fix",
-            Fixup.genicStatusDrift(fixed, g).filter(col("drifted"))))
-          .unionByName(afterFix("num_allele:after_fix",
-            Fixup.numAlleleDrift(fixed).filter(col("drifted"))))
-          .unionByName(afterFix("zygosity_perc_read:after_fix",
-            Fixup.zygosityPercentScope(fixed)))
+          .unionByName(afterAll)
           .orderBy(col("check_name"), col("drifted"), col("stored"),
             col("recomputed"))
       },

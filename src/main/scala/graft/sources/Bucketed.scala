@@ -29,7 +29,19 @@ object Bucketed {
     * `keys` — the once-per-table shuffle that makes all later joins on
     * `keys` exchange-free. Pass `path` to pin the table's files to an
     * external location (the catalog entry still carries the bucket
-    * spec, which is what the planner reads). */
+    * spec, which is what the planner reads).
+    *
+    * Parallelism note (ADVICE r16): the pre-write repartition caps
+    * write parallelism at the bucket count and funnels every row of a
+    * hash-colliding key set through one task (sort + write spill risk
+    * for a large table with few buckets). That is the intended
+    * production trade — the bucket count is a CAPACITY parameter
+    * chosen as tableBytes / ~256 MB at write time, so one task per
+    * bucket IS the target file size; a table that outgrows it is
+    * rewritten at a higher count via [[compact]] (the
+    * IndexBucketsGrowthSpec contract). Callers writing a large frame
+    * into deliberately few buckets should grow the bucket count, not
+    * skip the repartition. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String], mode: String = "overwrite",
                     path: Option[String] = None): Unit = {

@@ -53,6 +53,45 @@ class FixupDriftSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals: NULL-bound intervals are dropped, not merged into (ADVICE r16)") {
+    val ivs = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("1", 10L, 100L), ("1", null, 500L),   // NULL start: must not seed a group
+      ("1", 200L, null),                     // NULL stop: must not feed prevMax
+      ("1", 150L, 180L), ("2", null, null))
+      .toDF("chr", "s", "e")
+    val merged = RangeJoin.mergeIntervals(ivs, Seq("chr"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly the non-NULL intervals, unmerged (they are disjoint)
+    assert(merged === Set(("1", 10L, 100L), ("1", 150L, 180L)),
+      s"NULL-bound interval leaked into the merge: $merged")
+  }
+
+  test("numAlleleRecomputed (inline window) equals the filter->drift->join-back form") {
+    val rows = (0 until 600).map { i =>
+      val site = rnd.nextInt(60)
+      (i.toLong, (site % 5).toLong, s"chr${site % 7}", (site * 13).toLong,
+        // ~1/3 out of scope (percent 0), ref=Y sprinkled on BOTH scopes
+        // (an out-of-scope Y must not bump the site count)
+        if (rnd.nextInt(3) == 0) 0 else 1 + rnd.nextInt(99),
+        if (rnd.nextInt(4) == 0) "Y" else "N",
+        1 + rnd.nextInt(3))
+    }.toDF("vid", "sample_id", "chromosome", "start_pos",
+      "zygosity_percent_read", "zygosity_ref_allele", "zygosity_num_allele")
+
+    // the join-back form q106 used through r16, verbatim
+    val naTruth = Fixup.numAlleleDrift(rows)
+      .select(col("vid"), col("recomputed").as("__na"))
+    val want = rows.join(naTruth, Seq("vid"), "left_outer")
+      .withColumn("na2", coalesce(col("__na"), col("zygosity_num_allele")))
+      .select("vid", "na2")
+    val got = rows
+      .withColumn("na2",
+        coalesce(Fixup.numAlleleRecomputed, col("zygosity_num_allele")))
+      .select("vid", "na2")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "inline window disagrees with the join-back form")
+  }
+
   test("genicStatusDrift equals the aggregate form (overlapping/nested genes)") {
     val genes = (randomIntervals(60, 1500000L) ++
       Seq(("1", 0L, 300000L), ("1", 100000L, 400000L), // chained overlaps

@@ -22,11 +22,10 @@ import org.apache.spark.sql.functions._
   *     epoch 2 only +500000 fresh decoys, and epoch 0 is exactly the
   *     seed corpus.
   *
-  * A third property — staging is idempotent under micro-batch replay —
-  * is asserted INSIDE the gate itself (and therefore twice by this
-  * spec's double rebuild): after epoch 1 commits, the gate wipes the
-  * checkpoint, re-runs wave 1 end-to-end, and `require`s that the
-  * re-commit adds 0 docs. Per-batch staging writes are batchId-keyed
+  * A third property — replay/commit idempotence — is pinned by
+  * `StreamReplaySpec` (r17: the in-gate replay leg that re-ran wave 1
+  * end-to-end every bench pass was removed; it contributed 0 rows by
+  * construction). Per-batch staging writes are batchId-keyed
   * overwrites, so a retried batch rewrites its own directory rather
   * than appending a second copy of its novelties.
   */

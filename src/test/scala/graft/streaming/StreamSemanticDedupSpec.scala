@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *     collapse under DISTINCT).
   *
   * Retry idempotence (commit-level retry adds 0; checkpoint-cleared
-  * whole-wave replay adds 0) is `require`d INSIDE the gate, so the
-  * double rebuild here exercises both proofs twice.
+  * whole-wave replay adds 0) is pinned by `StreamReplaySpec` (r17:
+  * the in-gate replay leg was removed — it contributed 0 rows by
+  * construction and re-proved a corpus-independent property every
+  * bench pass).
   */
 class StreamSemanticDedupSpec extends SparkSpec {
 
