@@ -1038,6 +1038,33 @@ object Prof {
     val ver88 = cand88.filter(graft.operators.SetSimJoin.jaccardX1000(
       col("a.bm"), col("b.bm"), col("a.sz"), col("b.sz")) >= JaccThreshold)
     time("q88 verify")(println(s"PROF   q88 verified pairs: ${ver88.count()}"))
+    // r17 (VERDICT r16 item 6): is a distinct-before-verify worth it?
+    // Each (a, b) pair colliding in k of the 4 bands pays the bitmap
+    // popcount k times in the inline form; distinct-first pays one
+    // shuffle of the skinny pair stream instead. Numbers decide.
+    val candSkinny = bands88.select(col("doc_id"), col("band_idx"),
+        col("band_key"), col("sz")).as("a")
+      .join(bands88.select(col("doc_id"), col("band_idx"),
+        col("band_key"), col("sz")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          sizeRatioOk(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cd88 = time("q88 skinny enum+distinct")(
+      candSkinny.distinct().localCheckpoint(true))
+    println(s"PROF   q88 distinct pairs: ${cd88.count()}")
+    val ver88d = cd88
+      .join(broadcast(sig88.select(col("doc_id").as("doc_a"),
+        col("bm").as("bm_a"), col("sz").as("sz_a"))), "doc_a")
+      .join(broadcast(sig88.select(col("doc_id").as("doc_b"),
+        col("bm").as("bm_b"), col("sz").as("sz_b"))), "doc_b")
+      .filter(graft.operators.SetSimJoin.jaccardX1000(
+        col("bm_a"), col("bm_b"), col("sz_a"), col("sz_b")) >= JaccThreshold)
+    time("q88 verify distinct-first")(
+      println(s"PROF   q88 verified (distinct-first): ${ver88d.count()}"))
+    sig88.agg(count(lit(1)), avg(size(col("bm"))), max(size(col("bm"))),
+        avg(col("sz")), max(col("sz"))).show()
 
     // ---- q99: distinct (wave, index) band-bucket hits — the
     // signing/banding is the gates' own shared front end, so the

@@ -1030,9 +1030,12 @@ object QueriesPipeline {
             array_join(transform(sequence(lit(1), lit(40)),
               j => element_at(bases,
                 ((col("c") * 7 + col("i") * 3 + j) % 4 + 1).cast("int"))), "").as("line"))
+        // no checkpoint on the chunk table (r17): unlike q72, where the
+        // parse feeds 5 extracts, q82 consumes it exactly once (the
+        // pieces join below) — an eager materialization here was one
+        // extra full pass for nothing
         val chunks = graft.sources.Fasta.toChunks(
           graft.sources.Fasta.parseLines(headers.unionByName(seqLines)), width = W)
-          .localCheckpoint(true) // exon fetch below reuses the parse
         // transcripts: 2-3 exons in genomic order, disjoint 250bp bands
         val t = table(spark, dir, "part").select(
           col("p_partkey").as("tid"),
@@ -1230,7 +1233,8 @@ object QueriesPipeline {
           graft.sources.Fasta.parseLines(headers.unionByName(seqLines)), width = W)
           .withColumnRenamed("chr", "c_chr")
           .withColumnRenamed("chunk_idx", "c_idx")
-          .localCheckpoint(true)
+        // (r17: no checkpoint — single consumer, the DNA-fetch join
+        // below; same reasoning as q82's chunk table)
         val t = table(spark, dir, "part").select(
           col("p_partkey").as("tid"),
           (col("p_partkey") % 2 + 2).cast("int").as("n_exons"),
