@@ -18,6 +18,15 @@ object Bench {
       // (MinhashPipeline.verifiedDupPairsCapped) depends on this to
       // keep the band table exchange-free under its widened join key
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // A/B knob (r17, VERDICT r16 item 3): AQE partition coalescing
+      // sized by BYTES (parallelismFirst=false respects the advisory
+      // target — Spark's own production recommendation) instead of the
+      // parallelism-first default. Off unless set; adopted only if the
+      // full-suite A/B shows a box-state-clean win (the decision and
+      // both totals live in OPTIMIZATION_r17.md).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        if (sys.env.get("SPARK_GRAFT_BENCH_BYTESIZED").contains("1")) "false"
+        else "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -185,9 +194,14 @@ object Bench {
     //    the driver's low-cpu scaling run does not overwrite the main
     //    run's numbers — the pair is what attributes which queries
     //    parallelize and which are floor-bound.
+    // the committed artifact copy is written ONLY by full-catalog runs:
+    // a targeted SPARK_GRAFT_BENCH_FILTER run must not clobber the
+    // round's per-query record with a partial map
     val detailPaths = Seq(
-      s"${graft.queries.Fixtures.scratchRoot}/bench_now.json",
-      s"${graft.queries.Fixtures.artifactsRoot}/bench_detail_c$cpus.json")
+      s"${graft.queries.Fixtures.scratchRoot}/bench_now.json") ++
+      (if (filter.isEmpty)
+        Seq(s"${graft.queries.Fixtures.artifactsRoot}/bench_detail_c$cpus.json")
+      else Nil)
     for (detailPath <- detailPaths) {
       try {
         new java.io.File(detailPath).getParentFile.mkdirs()
