@@ -3710,23 +3710,17 @@ object QueriesLlm {
         // corpus, reassign the store to the new cells, swap; waves
         // from here on probe the NEW frozen centroids
         val h2 = SemanticIndex.retrainReassign(h, Off, 8, 3, nb * 2)
-        // replay proof, scoped to COMMITTED ids: no committed vector
-        // is re-accepted under the new geometry (its self-match
-        // survives any spill that includes the crank-1 cell). A
-        // previously-REJECTED wave-1 vector MAY legitimately become
-        // acceptable — its 0.4-cos blocker can land in a different
-        // cell under the new geometry (happens for 3 borderline
-        // vectors at sf0.1) — which is exactly why the idempotence
-        // contract of an index replay is "never duplicate an existing
-        // entry", not "reproduce old rejections".
-        val reAccepted = SemanticIndex.acceptWave(h2, w1)
-          .join(spark.table(tbl).select("vec_id").distinct(),
-            Seq("vec_id"), "left_semi")
-          .count()
-        require(reAccepted == 0L,
-          s"post-retrain replay of wave 1 re-accepted $reAccepted " +
-            "committed vectors; reassignment must preserve every " +
-            "committed self-match")
+        // (post-retrain replay idempotence — no committed vector is
+        // re-accepted under the new geometry, because its self-match
+        // survives any spill that includes the crank-1 cell — is a
+        // STRUCTURAL property of retrainReassign, pinned by
+        // SemanticIndexSpec's "keeps self-matches: replay accepts 0"
+        // test; r17 removed the per-bench-pass re-proof here, which
+        // contributed 0 rows to the rollup by construction. The old
+        // scoping note stands: a previously-REJECTED wave-1 vector MAY
+        // legitimately become acceptable under the new geometry —
+        // replay idempotence for an index means "never duplicate an
+        // existing entry", not "reproduce old rejections".)
         val w2 = e.filter(col("vec_id") % 20 === 11)
           .withColumn("vec_id", col("vec_id") + 300000L)
           .unionByName(e.filter(col("vec_id") % 20 === 1)
